@@ -1,0 +1,152 @@
+"""Host glue for the TPU decode engine: parses the container sections,
+pads per-slice crack streams into fixed-shape device arrays (bucketed
+to limit recompiles), launches the batched kernels, and assembles the
+output volume."""
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..headers import CrackleHeader, CrackFormat, LabelFormat
+from ..lib import crc32c, ctoi, compute_dtype
+from ..ops import crackcode as _cc
+from ..ops import labels as _labels_ops
+from .. import codec as _codec
+from . import decode as _dec
+
+
+def _next_pow2(x: int) -> int:
+  if x <= 1:
+    return 1
+  return 1 << (x - 1).bit_length()
+
+
+def prepare_slice_inputs(binary: bytes, z_start: int, z_end: int):
+  """Parse + pad the crack streams of a z window for device decode.
+
+  Returns dict of padded arrays or None if this stream needs the
+  numpy fallback (markov streams for now)."""
+  head = _codec.header(binary)
+  if head.markov_model_order > 0:
+    return None
+
+  codes = _codec.crack_codes(binary)[z_start:z_end]
+  B = len(codes)
+
+  packed_list = []
+  nodes_list = []
+  for code in codes:
+    if len(code) == 0:
+      packed_list.append(b'')
+      nodes_list.append(np.zeros(0, np.int64))
+      continue
+    index_size = 4 + ctoi(code, 0, 4)
+    nodes_list.append(_cc.read_boc_index(code, head.sx, head.sy))
+    packed_list.append(code[index_size:])
+
+  max_bytes = max((len(p) for p in packed_list), default=0)
+  max_chains = max((len(n) for n in nodes_list), default=0)
+  CAP_B = _next_pow2(max(max_bytes, 4))
+  CAP_CH = _next_pow2(max(max_chains, 2))
+
+  packed = np.zeros((B, CAP_B), np.uint8)
+  nbytes = np.zeros(B, np.int32)
+  nodes = np.zeros((B, CAP_CH), np.int32)
+  n_chains = np.zeros(B, np.int32)
+  for i, (p, nd) in enumerate(zip(packed_list, nodes_list)):
+    packed[i, :len(p)] = np.frombuffer(p, np.uint8)
+    nbytes[i] = len(p)
+    nodes[i, :len(nd)] = nd
+    n_chains[i] = len(nd)
+
+  return {
+    "head": head,
+    "packed": packed,
+    "nbytes": nbytes,
+    "nodes": nodes,
+    "n_chains": n_chains,
+  }
+
+
+def decode_window_ccl(binary: bytes, z_start: int, z_end: int,
+                      check_crcs: bool = True):
+  """Decode a z window to per-slice first-visit CCL images on device.
+
+  Returns (cc (B, sy*sx) int32 numpy, N (B,) numpy) or None for
+  fallback streams."""
+  inputs = prepare_slice_inputs(binary, z_start, z_end)
+  if inputs is None:
+    return None
+  head = inputs["head"]
+  permissible = head.crack_format == CrackFormat.PERMISSIBLE
+  cc, N = _dec.decode_slices_to_ccl(
+    jnp.asarray(inputs["packed"]), jnp.asarray(inputs["nbytes"]),
+    jnp.asarray(inputs["nodes"]), jnp.asarray(inputs["n_chains"]),
+    sx=head.sx, sy=head.sy, permissible=permissible,
+  )
+  cc = np.asarray(cc)
+  N = np.asarray(N)
+
+  if check_crcs and head.format_version > 0:
+    stored = _codec.crack_crcs(binary)
+    for i, z in enumerate(range(z_start, z_end)):
+      computed = crc32c(np.ascontiguousarray(cc[i].astype('<u4')))
+      if computed != int(stored[z]):
+        from ..headers import FormatError
+        raise FormatError(
+          f"crackle: crack code crc mismatch on z={z} "
+          f"computed: {computed} stored: {int(stored[z])}"
+        )
+  return cc, N
+
+
+def decode_window(binary: bytes, z_start: int, z_end: int,
+                  label: Optional[int] = None,
+                  check_crcs: bool = True) -> Optional[np.ndarray]:
+  """Full device decode of a z window. Returns the (sx, sy, szr)
+  volume or None if the stream needs the numpy fallback."""
+  head = _codec.header(binary)
+  if head.label_format != LabelFormat.FLAT:
+    return None  # pins label painting is host-side for now
+  res = decode_window_ccl(binary, z_start, z_end, check_crcs=check_crcs)
+  if res is None:
+    return None
+  cc, N = res
+
+  lb = bytes(_codec.raw_labels(binary))
+  n_labels = _labels_ops.decode_num_labels(head, lb)
+  uniq = _labels_ops.decode_uniq(head, lb)
+  cpg = _labels_ops.components_per_grid(head, lb).astype(np.int64)
+  cum = np.concatenate([[0], np.cumsum(cpg)])
+
+  key_dtype = compute_dtype(n_labels)
+  offset = (8 + n_labels * head.stored_data_width
+            + head.component_width() * head.num_grids())
+  keys = np.frombuffer(lb, offset=offset, dtype=key_dtype)
+
+  key_offsets = cum[z_start:z_end].astype(np.int32)
+
+  key_idx = _dec.paint_keys(
+    jnp.asarray(cc), jnp.asarray(N), jnp.asarray(key_offsets),
+    jnp.asarray(keys.astype(np.int32)),
+  )
+  key_idx = np.asarray(key_idx)
+
+  if label is not None:
+    uq = uniq
+    pos = np.searchsorted(uq, label)
+    hit = pos < len(uq) and uq[pos] == label
+    slab = (key_idx == pos) if hit else np.zeros_like(key_idx, bool)
+    out = slab
+    out_dtype = np.dtype(bool)
+  else:
+    out = uniq[key_idx]  # host gather handles u64 without x64 concerns
+    out_dtype = head.dtype
+    out = out.astype(out_dtype, copy=False)
+
+  B = z_end - z_start
+  vol = out.reshape(B, head.sy, head.sx).transpose(2, 1, 0)
+  if head.fortran_order:
+    return np.asfortranarray(vol)
+  return np.ascontiguousarray(vol)

@@ -1,0 +1,79 @@
+"""The JAX decode engine must agree exactly with the numpy engine
+(which is itself oracle-verified against sequential semantics)."""
+import numpy as np
+import pytest
+
+import crackle_tpu as crackle
+from crackle_tpu.kernels import engine
+
+
+def random_volume(shape, num_labels, seed, smooth=0, dtype=np.uint32):
+  rng = np.random.RandomState(seed)
+  a = rng.randint(0, num_labels, size=shape).astype(dtype)
+  for _ in range(smooth):
+    axis = rng.randint(0, len(shape))
+    m = rng.rand(*shape) < 0.6
+    a = np.where(m, np.roll(a, 1, axis=axis), a)
+  return np.asfortranarray(a)
+
+
+CASES = [
+  ((9, 9, 4), 4, 0, 0),
+  ((16, 16, 4), 5, 1, 4),
+  ((16, 16, 4), 2, 2, 0),   # noisy -> permissible
+  ((33, 17, 3), 6, 3, 6),   # smooth -> impermissible
+  ((8, 8, 2), 1, 4, 0),     # constant
+  ((64, 64, 4), 12, 5, 6),
+  ((1, 1, 1), 2, 6, 0),
+  ((5, 1, 3), 3, 7, 0),
+]
+
+
+@pytest.mark.parametrize("shape,nl,seed,smooth", CASES)
+def test_jax_decode_matches_numpy(shape, nl, seed, smooth):
+  vol = random_volume(shape, nl, seed, smooth)
+  binary = crackle.compress(vol)
+  out = engine.decode_window(binary, 0, shape[2])
+  assert out is not None
+  np.testing.assert_array_equal(out, vol)
+
+
+def test_jax_decode_z_window():
+  vol = random_volume((12, 10, 8), 5, 11, 4)
+  binary = crackle.compress(vol)
+  out = engine.decode_window(binary, 2, 6)
+  np.testing.assert_array_equal(out, vol[:, :, 2:6])
+
+
+def test_jax_decode_ccl_matches_numpy_ccl():
+  from crackle_tpu.ops.ccl import connected_components_slice
+  vol = random_volume((32, 32, 4), 6, 13, 5)
+  binary = crackle.compress(vol)
+  cc, N = engine.decode_window_ccl(binary, 0, 4)
+  sxy = 32 * 32
+  flat = vol.ravel(order='F')
+  for z in range(4):
+    expected, n_expected = connected_components_slice(
+      flat[z * sxy:(z + 1) * sxy], 32, 32
+    )
+    assert int(N[z]) == n_expected
+    np.testing.assert_array_equal(cc[z], expected.astype(np.int32))
+
+
+def test_jax_decode_binary_label():
+  vol = random_volume((10, 10, 4), 5, 17, 3)
+  binary = crackle.compress(vol)
+  lbl = int(np.unique(vol)[1])
+  out = engine.decode_window(binary, 0, 4, label=lbl)
+  np.testing.assert_array_equal(out, vol == lbl)
+
+
+def test_jax_decode_crc_detects_corruption():
+  vol = random_volume((10, 10, 4), 5, 19, 3)
+  binary = bytearray(crackle.compress(vol))
+  # corrupt a crack code byte
+  head = crackle.header(bytes(binary))
+  gi = crackle.codec.grid_index(bytes(binary))
+  binary[int(gi[0]) + 6] ^= 0xFF
+  with pytest.raises(crackle.FormatError):
+    engine.decode_window(bytes(binary), 0, 4)
