@@ -1,0 +1,114 @@
+"""Benchmark: decode throughput of the TPU engine on a synthetic
+connectomics-like volume.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline compares against the reference's single-thread decode of
+connectomics.npy on an M3 (545.6 MVx/s, benchmarks/README.md:272).
+
+The compressed test volume is cached under bench_data/ so repeated
+runs skip the encode.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_data")
+SHAPE = (256, 256, 128)
+N_SEEDS = 1200
+BASELINE_DECODE_MVX = 545.6  # reference 1-thread M3, 512^3 connectomics
+
+
+def synthetic_connectomics(shape, n_seeds, seed=42):
+  """Anisotropic Voronoi labeling: a reasonable stand-in for dense
+  neuron segmentation (elongated, space-filling regions)."""
+  rng = np.random.RandomState(seed)
+  sx, sy, sz = shape
+  pts = rng.rand(n_seeds, 3) * np.array([sx, sy, sz])
+  # stretch z so regions elongate along z like neurites
+  aniso = np.array([1.0, 1.0, 0.35])
+  from scipy.spatial import cKDTree
+  tree = cKDTree(pts * aniso)
+  xs, ys, zs = np.meshgrid(
+    np.arange(sx), np.arange(sy), np.arange(sz), indexing='ij'
+  )
+  q = np.stack([xs.ravel(), ys.ravel(), zs.ravel()], axis=1) * aniso
+  _, idx = tree.query(q, workers=-1)
+  labels = (idx + 1).astype(np.uint32).reshape(shape)
+  return np.asfortranarray(labels)
+
+
+def get_binary():
+  os.makedirs(BENCH_DIR, exist_ok=True)
+  path = os.path.join(
+    BENCH_DIR, f"connectomics_proxy_{SHAPE[0]}x{SHAPE[1]}x{SHAPE[2]}.ckl"
+  )
+  vol_path = path + ".npy"
+  import crackle_tpu as crackle
+  if os.path.exists(path) and os.path.exists(vol_path):
+    with open(path, 'rb') as f:
+      return f.read(), np.load(vol_path)
+  print("generating synthetic connectomics volume...", file=sys.stderr)
+  vol = synthetic_connectomics(SHAPE, N_SEEDS)
+  print("compressing (host encoder)...", file=sys.stderr)
+  t0 = time.time()
+  binary = crackle.compress(vol)
+  print(f"encode took {time.time() - t0:.1f}s, "
+        f"ratio {len(binary) / vol.nbytes:.4%}", file=sys.stderr)
+  with open(path, 'wb') as f:
+    f.write(binary)
+  np.save(vol_path, vol)
+  return binary, vol
+
+
+def main():
+  import crackle_tpu as crackle
+  from crackle_tpu.kernels import engine
+  import jax
+
+  binary, vol = get_binary()
+  voxels = SHAPE[0] * SHAPE[1] * SHAPE[2]
+  nbytes_out = voxels * 4
+
+  backend = jax.default_backend()
+  print(f"backend: {backend} devices: {jax.devices()}", file=sys.stderr)
+
+  # warmup (compile)
+  out = engine.decode_window(binary, 0, SHAPE[2])
+  assert out is not None
+  if not np.array_equal(out, vol):
+    print(json.dumps({
+      "metric": "decode_correctness", "value": 0.0, "unit": "bool",
+      "vs_baseline": 0.0,
+    }))
+    return
+
+  times = []
+  for _ in range(5):
+    t0 = time.perf_counter()
+    out = engine.decode_window(binary, 0, SHAPE[2])
+    times.append(time.perf_counter() - t0)
+  best = min(times)
+
+  mvx = voxels / best / 1e6
+  gbs = nbytes_out / best / 1e9
+  print(f"decode: best {best * 1e3:.1f} ms  {mvx:.1f} MVx/s  "
+        f"{gbs:.2f} GB/s out  (times: "
+        f"{', '.join(f'{t * 1e3:.0f}ms' for t in times)})",
+        file=sys.stderr)
+
+  print(json.dumps({
+    "metric": "decode_throughput",
+    "value": round(mvx, 1),
+    "unit": "MVx/s",
+    "vs_baseline": round(mvx / BASELINE_DECODE_MVX, 3),
+  }))
+
+
+if __name__ == "__main__":
+  main()

@@ -22,6 +22,35 @@ from .models import markov as _markov
 
 PinTuple = namedtuple('Pin', ['index', 'depth'])
 
+# Decode engine selection: 'auto' uses the JAX/TPU engine when an
+# accelerator backend is present (markov / pins streams fall back to
+# the numpy engine until their device paths land); 'numpy' and 'jax'
+# force a choice.
+_ENGINE = 'auto'
+
+
+def set_engine(engine: str) -> None:
+  global _ENGINE
+  if engine not in ('auto', 'numpy', 'jax'):
+    raise ValueError(f"engine must be auto|numpy|jax, got {engine}")
+  _ENGINE = engine
+
+
+def get_engine() -> str:
+  return _ENGINE
+
+
+def _jax_engine_enabled() -> bool:
+  if _ENGINE == 'numpy':
+    return False
+  if _ENGINE == 'jax':
+    return True
+  try:
+    import jax
+    return jax.default_backend() != 'cpu'
+  except Exception:
+    return False
+
 
 # ---------------------------------------------------------------------------
 # Header / section accessors
@@ -447,8 +476,13 @@ def _decode_slice_ccl(code: bytes, head: CrackleHeader, markov_model,
 
 def _full_decode(binary: bytes, z_start: int, z_end: int,
                  label: Optional[int] = None) -> np.ndarray:
-  """Numpy-engine decode of a z window (crackle.hpp decompress
-  parity)."""
+  """Decode of a z window (crackle.hpp decompress parity). Routes to
+  the JAX/TPU engine when enabled and the stream is eligible."""
+  if _jax_engine_enabled():
+    from .kernels import engine as _engine
+    out = _engine.decode_window(binary, z_start, z_end, label=label)
+    if out is not None:
+      return out
   head = header(binary)
   sx, sy = head.sx, head.sy
   sxy = sx * sy

@@ -2,18 +2,27 @@
 
 The per-slice decode pipeline (packed crack bytes -> codepoints ->
 symbols -> positions -> VCG -> CCL -> component keys) expressed as
-fixed-shape, data-parallel jnp ops so XLA can fuse and vectorize it on
-the TPU's VPU, with slices as the batch (vmap/shard) axis:
+fixed-shape, data-parallel jnp ops tuned for the TPU's cost model:
+sorts, scans and elementwise ops are cheap; scalar gathers/scatters
+are expensive and searchsorted is prohibitive, so the pipeline uses
 
-  * 2-bit unpack + mod-4 cumsum undiff         (elementwise + scan)
-  * b/t pair classification via run parity     (cummax + elementwise)
-  * chain segmentation via running minima      (cummin)
-  * branch-stack replay via scope matching     (sort + searchsorted +
-                                                scatter-add + cumsum)
-  * VCG painting via presence rasters          (scatter-max)
-  * CCL via FastSV-style min-label propagation (shifts + scatter-min +
-                                                pointer jumping)
-  * first-visit renumbering                    (cumsum + gather)
+  * 2-bit unpack + mod-4 cumsum undiff            (elementwise + scan)
+  * b/t pair classification via run parity        (cummax)
+  * chain segmentation via running minima, with
+    chain ids from a cumsum (no searchsorted)     (cummin + cumsum)
+  * branch-scope matching via ONE sort by
+    (scope depth, position) with the originating
+    index embedded in the key, a reverse
+    segmented scan for next-close, and a
+    self-addressed unscatter (no searchsorted);
+    depth-1 scopes resolve against the chain-end
+    scan instead of sort entries                  (sort + scans)
+  * position replay via scatter-add + cumsum
+  * VCG painting via one fused presence scatter
+  * CCL via alternating row/column segmented-min
+    sweeps to a fixed point (no gathers in the
+    loop), then a single-gather first-visit
+    renumber
 
 This mirrors crackle_tpu.ops.crackcode / ops.ccl bit-for-bit; the
 numpy implementations there are the correctness oracle.
@@ -25,8 +34,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# The scope-matching sort keys need 64-bit integer range
-# (depth * (2*CAP) + position overflows int32 for large slices).
+# The scope-matching sort keys need 64-bit integer range.
 jax.config.update("jax_enable_x64", True)
 
 UP, RIGHT, DOWN, LEFT = 0, 1, 2, 3
@@ -34,191 +42,175 @@ UP, RIGHT, DOWN, LEFT = 0, 1, 2, 3
 _INT32_MAX = np.iinfo(np.int32).max
 
 
-def _next_pow2(x: int) -> int:
-  return 1 << max(int(x) - 1, 1).bit_length()
-
-
 # ---------------------------------------------------------------------------
-# Per-slice decode: packed bytes -> renumbered CCL + N
+# Per-slice decode: packed bytes -> VCG
 # ---------------------------------------------------------------------------
 
-@functools.partial(
-  jax.jit, static_argnames=("sx", "sy", "permissible", "ccl_iters")
-)
-def decode_slices_to_ccl(packed, nbytes, nodes, n_chains,
-                         sx: int, sy: int, permissible: bool,
-                         ccl_iters: int = 0):
-  """Batched slice decode.
+def _shift_right(x, fill):
+  """x shifted one step toward higher indices (x[i] -> out[i+1])."""
+  return jnp.concatenate([jnp.full((1,), fill, x.dtype), x[:-1]])
 
-  packed:   (B, CAP_B) uint8  packed move bytes (BOC stripped)
-  nbytes:   (B,)       int32  valid byte count per slice
-  nodes:    (B, CAP_CH) int32 chain start corner nodes (sorted)
-  n_chains: (B,)       int32  valid chain count per slice
 
-  Returns (cc_labels (B, sy*sx) int32 first-visit numbered, N (B,)).
-  """
-  vcg = jax.vmap(
-    lambda p, nb, nd, nc: _decode_one_vcg(p, nb, nd, nc, sx, sy,
-                                          permissible)
-  )(packed, nbytes, nodes, n_chains)
-  cc, N = _ccl_batch(vcg, sx, sy, ccl_iters)
-  return cc, N
+def _shift_left(x, fill):
+  return jnp.concatenate([x[1:], jnp.full((1,), fill, x.dtype)])
 
 
 def _decode_one_vcg(packed, nbytes, nodes, n_chains, sx, sy, permissible):
   """One slice: packed bytes -> 4-bit VCG (sy*sx,) uint8."""
-  CAP_B = packed.shape[0]
   CAP_CH = nodes.shape[0]
-  n_cps = nbytes * 4
+  n_cps = (nbytes * 4).astype(jnp.int32)
   sxe = sx + 1
 
   # --- unpack 2-bit diffs, undiff via cumsum mod 4 ---
   b = packed.astype(jnp.int32)
   diffs = jnp.stack(
     [b & 3, (b >> 2) & 3, (b >> 4) & 3, (b >> 6) & 3], axis=1
-  ).reshape(-1)  # (CAP_CPS,)
+  ).reshape(-1)
   CAP = diffs.shape[0]
   idx = jnp.arange(CAP, dtype=jnp.int32)
   in_range = idx < n_cps
   diffs = jnp.where(in_range, diffs, 0)
-  cps = jnp.cumsum(diffs) & 3
+  cps = (jnp.cumsum(diffs) & 3).astype(jnp.int32)
 
   # --- classify: pair-second via run parity of the reversal flag ---
-  prev = jnp.concatenate([jnp.full((1,), 255, jnp.int32), cps[:-1]])
+  prev = _shift_right(cps, 255)
   r = ((cps ^ prev) == 0b10) & in_range
-  run_start = jnp.where(
-    r & ~jnp.concatenate([jnp.zeros((1,), bool), r[:-1]]), idx, -1
-  )
+  run_start = jnp.where(r & ~_shift_right(r, False), idx, -1)
   run_start = jax.lax.cummax(jnp.where(r, run_start, -1))
   is_second = r & (((idx - run_start) & 1) == 0)
 
-  pair_first = jnp.concatenate([is_second[1:], jnp.zeros((1,), bool)])
-  second_cp = jnp.concatenate([cps[1:], jnp.zeros((1,), jnp.int32)])
-  # UP(00)/LEFT(11) second -> terminate; DOWN/RIGHT -> branch
+  pair_first = _shift_left(is_second, False)
+  second_cp = _shift_left(cps, 0)
   is_term_pair = (second_cp == UP) | (second_cp == LEFT)
   is_branch = pair_first & ~is_term_pair
   is_term = pair_first & is_term_pair
   is_move = ~pair_first & ~is_second & in_range
 
-  # --- chain segmentation: k-th chain ends at k-th strict new min ---
+  # --- chain segmentation ---
   tok = jnp.where(is_branch, 1, 0) - jnp.where(is_term, 1, 0)
   c = jnp.cumsum(tok)
-  runmin = jax.lax.cummin(jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                           c]))[:-1]
+  runmin = _shift_right(jax.lax.cummin(c), 0)
+  runmin = jnp.minimum(runmin, 0)
   is_end = (c < runmin) & in_range
-  ends = jnp.nonzero(is_end, size=CAP_CH, fill_value=_INT32_MAX)[0] \
-    .astype(jnp.int64)
-  chain_ok = jnp.arange(CAP_CH) < n_chains
-  ends = jnp.where(chain_ok, ends, jnp.int64(_INT32_MAX))
 
-  last_end = jnp.where(
-    n_chains > 0,
-    ends[jnp.clip(n_chains - 1, 0, CAP_CH - 1)],
-    jnp.int64(-1),
-  )
-  valid = idx <= (last_end + 1)
-
-  # chain id per codepoint
-  chain_of = jnp.clip(
-    jnp.searchsorted(ends, idx.astype(jnp.int64), side='left'),
-    0, jnp.maximum(n_chains - 1, 0),
-  ).astype(jnp.int32)
-  chain_start = jnp.where(
-    chain_ok,
-    jnp.concatenate([jnp.zeros((1,), jnp.int64), ends[:-1] + 2]),
-    jnp.int64(CAP),
-  )
-  chain_start = jnp.clip(chain_start, 0, CAP).astype(jnp.int32)
+  end_cum = jnp.cumsum(is_end.astype(jnp.int32))
+  cnt_before = end_cum - is_end  # ends strictly before i
+  chain_of = jnp.clip(cnt_before, 0, jnp.maximum(n_chains - 1, 0))
+  prev_is_end = _shift_right(is_end, False)
+  prev2_is_end = _shift_right(prev_is_end, False)
+  valid = (cnt_before < n_chains) | prev_is_end
+  is_start = ((idx == 0) & (n_chains > 0)) | \
+      (prev2_is_end & (cnt_before < n_chains))
 
   depth_after = c + chain_of + 1
 
-  # --- scope matching: sort (depth, position) events ---
-  BIG = jnp.int64(2 * CAP + 4)
+  # --- next chain-end position (covers depth-1 scopes) ---
+  # reverse scan: first is_end position >= i
+  def last_set_scan(v, f):
+    def comb(a, b):
+      av, af = a
+      bv, bf = b
+      return (jnp.where(bf, bv, av), af | bf)
+    return jax.lax.associative_scan(comb, (v, f))[0]
+
+  next_end = last_set_scan(
+    jnp.where(is_end, idx, CAP)[::-1], is_end[::-1]
+  )[::-1]
+  next_end = jnp.where(is_end, idx, next_end)  # inclusive
+
+  # --- branch-scope matching: one sort by (depth, position) ---
+  # entries: moves & branch opens at their depth; terms at the depth
+  # of the scope they close (depth_after + 1). Only depth >= 2 scopes
+  # need the sort; depth-1 moves resolve to next_end.
+  main_active = valid & (is_move | is_branch | is_term)
+  depth_evt = jnp.where(is_term, depth_after + 1, depth_after)
+  is_close_i = is_term & valid
+  # key: depth * (2*CAP) + position, close flag and position embedded
+  BIG = jnp.int64(2 * CAP + 2)
   INF = jnp.int64(2 ** 62)
+  keys = jnp.where(
+    main_active,
+    ((depth_evt.astype(jnp.int64) * BIG + idx.astype(jnp.int64)) << 1)
+    | is_close_i.astype(jnp.int64),
+    INF,
+  )
+  skeys = jnp.sort(keys)
+  is_inf_s = skeys >= INF
+  is_close_s = (skeys & 1) == 1
+  pos_s = ((skeys >> 1) % BIG).astype(jnp.int32)
+  depth_s = ((skeys >> 1) // BIG).astype(jnp.int32)
 
-  open_key_real = jnp.where(
-    is_branch & valid,
-    depth_after.astype(jnp.int64) * BIG + 2 * idx.astype(jnp.int64),
-    INF,
-  )
-  open_key_virtual = jnp.where(
-    chain_ok,
-    1 * BIG + (2 * chain_start.astype(jnp.int64) - 1),
-    INF,
-  )
-  okeys = jnp.concatenate([open_key_real, open_key_virtual])
+  # reverse segmented scan: next close at same depth
+  seg_last = (depth_s != _shift_left(depth_s, -1)) | is_inf_s
+  setv = jnp.where(is_close_s, pos_s, CAP)
+  setf = is_close_s | seg_last
+  nextclose_s = last_set_scan(setv[::-1], setf[::-1])[::-1]
 
-  close_key = jnp.where(
-    is_term & valid,
-    (depth_after + 1).astype(jnp.int64) * BIG + 2 * idx.astype(jnp.int64),
-    INF,
-  )
-  # closes: real terms only; the count matches opens (#b + #chains)
-  ckeys = jnp.sort(
-    jnp.concatenate([close_key, jnp.full((CAP_CH,), INF, jnp.int64)])
-  )
-  oorder = jnp.argsort(okeys)
-  okeys_sorted = okeys[oorder]
-  close_pos_sorted = jnp.where(
-    ckeys < INF, (ckeys % BIG) // 2, jnp.int64(CAP)
+  # self-addressed unscatter: E_at[pos] for non-close entries
+  targets = jnp.where(~is_inf_s & ~is_close_s, pos_s, CAP)
+  E_at = jnp.full((CAP + 1,), CAP, jnp.int32) \
+    .at[targets].set(nextclose_s, mode='drop')
+  E_deep = E_at[:CAP]
+
+  close_of_move = jnp.where(depth_after == 1, next_end, E_deep)
+
+  # --- position replay ---
+  deltas = jnp.where(
+    cps == UP, -sxe,
+    jnp.where(cps == RIGHT, 1, jnp.where(cps == DOWN, sxe, -1))
   ).astype(jnp.int32)
+  deltas = jnp.where(is_move & valid, deltas, 0)
 
-  # enclosing scope of each move -> its close position
-  mkeys = jnp.where(
-    is_move & valid,
-    depth_after.astype(jnp.int64) * BIG + 2 * idx.astype(jnp.int64),
-    INF - 1,
+  acc = jnp.concatenate([deltas, jnp.zeros((1,), jnp.int32)])
+  acc = acc.at[jnp.where(is_move & valid, close_of_move, CAP)] \
+    .add(-deltas, mode='drop')
+
+  # chain-start node contributions (tiny scatters over CAP_CH)
+  ends_c = jnp.nonzero(is_end, size=CAP_CH, fill_value=CAP)[0] \
+    .astype(jnp.int32)
+  chain_ok = jnp.arange(CAP_CH) < n_chains
+  starts_c = jnp.where(
+    chain_ok,
+    jnp.concatenate([jnp.zeros((1,), jnp.int32), ends_c[:-1] + 2]),
+    CAP,
   )
-  oi = jnp.searchsorted(okeys_sorted, mkeys, side='right') - 1
-  oi = jnp.clip(oi, 0, okeys_sorted.shape[0] - 1)
-  close_of_move = close_pos_sorted[oi]
-  close_of_move = jnp.where(is_move & valid, close_of_move, CAP)
-
-  # --- replay positions: scatter +delta at move, -delta at close ---
-  delta_lut = jnp.array([-sxe, 1, sxe, -1], jnp.int32)
-  deltas = jnp.where(is_move & valid, delta_lut[cps], 0)
-
-  acc = jnp.zeros((CAP + 1,), jnp.int32)
-  acc = acc.at[idx].add(deltas)
-  acc = acc.at[close_of_move].add(-deltas, mode='drop')
+  next_starts_c = jnp.where(
+    chain_ok, jnp.concatenate([starts_c[1:], jnp.full((1,), CAP,
+                                                      jnp.int32)]), CAP
+  )
   node_vals = jnp.where(chain_ok, nodes, 0).astype(jnp.int32)
-  acc = acc.at[chain_start].add(node_vals, mode='drop')
-  next_start = jnp.concatenate(
-    [chain_start[1:], jnp.full((1,), CAP, jnp.int32)]
-  )
-  next_start = jnp.where(chain_ok, next_start, CAP)
-  acc = acc.at[next_start].add(-node_vals, mode='drop')
+  acc = acc.at[starts_c].add(node_vals, mode='drop')
+  acc = acc.at[next_starts_c].add(-node_vals, mode='drop')
+
   pos_after = jnp.cumsum(acc[:CAP])
   pos_before = pos_after - deltas
 
-  # --- paint presence rasters ---
+  # --- paint presence rasters (one fused scatter) ---
   py = pos_before // sxe
   px = pos_before - py * sxe
 
-  is_u = is_move & valid & (cps == UP)
-  is_d = is_move & valid & (cps == DOWN)
-  is_l = is_move & valid & (cps == LEFT)
-  is_r = is_move & valid & (cps == RIGHT)
+  NV = sy * sxe
+  NH = (sy + 1) * sx
+  OOB = NV + NH
 
-  OOBV = sy * sxe
-  OOBH = (sy + 1) * sx
-  v_idx = jnp.where(
-    is_u, px + sxe * (py - 1),
-    jnp.where(is_d, px + sxe * py, OOBV)
+  active = is_move & valid
+  vh_idx = jnp.where(
+    active & (cps == UP), px + sxe * (py - 1),
+    jnp.where(
+      active & (cps == DOWN), px + sxe * py,
+      jnp.where(
+        active & (cps == LEFT), NV + (px - 1) + sx * py,
+        jnp.where(active & (cps == RIGHT), NV + px + sx * py, OOB)
+      )
+    )
   )
-  v_idx = jnp.where(v_idx >= 0, v_idx, OOBV)
-  h_idx = jnp.where(
-    is_l, (px - 1) + sx * py,
-    jnp.where(is_r, px + sx * py, OOBH)
-  )
-  h_idx = jnp.where(h_idx >= 0, h_idx, OOBH)
+  # negative indices only arise from corrupt codes; drop them (the
+  # host-side crc check reports corruption)
+  vh_idx = jnp.where(vh_idx >= 0, vh_idx, OOB)
 
-  V = jnp.zeros((sy * sxe,), jnp.uint8)
-  V = V.at[v_idx].max(1, mode='drop')
-  H = jnp.zeros(((sy + 1) * sx,), jnp.uint8)
-  H = H.at[h_idx].max(1, mode='drop')
-  V2 = V.reshape(sy, sxe)
-  H2 = H.reshape(sy + 1, sx)
+  VH = jnp.zeros((OOB,), jnp.uint8).at[vh_idx].max(1, mode='drop')
+  V2 = VH[:NV].reshape(sy, sxe)
+  H2 = VH[NV:].reshape(sy + 1, sx)
 
   vcg = (V2[:, 1:]
          | (V2[:, :sx] << 1)
@@ -230,64 +222,69 @@ def _decode_one_vcg(packed, nbytes, nodes, n_chains, sx, sy, permissible):
   return vcg
 
 
-def _ccl_batch(vcg, sx, sy, ccl_iters: int):
+# ---------------------------------------------------------------------------
+# CCL: alternating row/column segmented-min sweeps
+# ---------------------------------------------------------------------------
+
+def _seg_min_scan(L, blocked, axis):
+  """Segmented min scan along axis: carry resets where blocked."""
+  def comb(a, b):
+    av, ab = a
+    bv, bb = b
+    return (jnp.where(bb, bv, jnp.minimum(av, bv)), ab | bb)
+  return jax.lax.associative_scan(comb, (L, blocked), axis=axis)[0]
+
+
+def _ccl_batch(vcg, sx, sy, ccl_iters: int = 0):
   """Batched 4-connected CCL from VCG with first-visit numbering.
 
-  FastSV-style: min-label propagation over passable edges + pointer
-  jumping, iterated to a fixed point. Components end up labeled by
-  their minimum flat index; the renumber pass converts that to dense
-  first-visit raster order (identical to the reference's union-find
-  numbering)."""
+  Components are labeled by their min flat index via alternating
+  forward/backward row and column segmented-min sweeps iterated to a
+  fixed point (no gathers in the loop; scans are TPU-friendly), then
+  renumbered densely by first raster visit."""
   B = vcg.shape[0]
   n = sx * sy
   v2 = vcg.reshape(B, sy, sx)
-  left_ok = (v2 & 0b0010) > 0   # passable to x-1
-  up_ok = (v2 & 0b1000) > 0     # passable to y-1
+  left_ok = (v2 & 0b0010) > 0   # connected to x-1
+  up_ok = (v2 & 0b1000) > 0     # connected to y-1
+  # explicit borders
+  left_ok = left_ok.at[:, :, 0].set(False)
+  up_ok = up_ok.at[:, 0, :].set(False)
 
-  p0 = jnp.broadcast_to(
+  blocked_x_f = ~left_ok
+  blocked_x_b = ~jnp.concatenate(
+    [left_ok[:, :, 1:], jnp.zeros((B, sy, 1), bool)], axis=2
+  )[:, :, ::-1]
+  blocked_y_f = ~up_ok
+  blocked_y_b = ~jnp.concatenate(
+    [up_ok[:, 1:, :], jnp.zeros((B, 1, sx), bool)], axis=1
+  )[:, ::-1, :]
+
+  L0 = jnp.broadcast_to(
     jnp.arange(n, dtype=jnp.int32).reshape(1, sy, sx), (B, sy, sx)
   )
 
-  def neighbor_min(p):
-    m = p
-    if sx > 1:
-      # from left neighbor (valid where left_ok, x>0)
-      m = m.at[:, :, 1:].min(jnp.where(
-        left_ok[:, :, 1:], p[:, :, :-1], _INT32_MAX))
-      # from right neighbor
-      m = m.at[:, :, :-1].min(jnp.where(
-        left_ok[:, :, 1:], p[:, :, 1:], _INT32_MAX))
-    if sy > 1:
-      m = m.at[:, 1:, :].min(jnp.where(
-        up_ok[:, 1:, :], p[:, :-1, :], _INT32_MAX))
-      m = m.at[:, :-1, :].min(jnp.where(
-        up_ok[:, 1:, :], p[:, 1:, :], _INT32_MAX))
-    return m
+  def sweep(L):
+    L = _seg_min_scan(L, blocked_x_f, axis=2)
+    L = _seg_min_scan(L[:, :, ::-1], blocked_x_b, axis=2)[:, :, ::-1]
+    L = _seg_min_scan(L, blocked_y_f, axis=1)
+    L = _seg_min_scan(L[:, ::-1, :], blocked_y_b, axis=1)[:, ::-1, :]
+    return L
 
   def cond(state):
-    _p, changed, _it = state
+    _L, changed = state
     return changed
 
-  def body_wrapped(state):
-    p, changed, it = state
-    m = neighbor_min(p)
-    pf = p.reshape(B, n)
-    mf = m.reshape(B, n)
-    pf2 = jnp.take_along_axis(pf, pf, axis=1)
-    roots = jnp.minimum(pf2, mf)
-    base = jnp.full_like(pf, _INT32_MAX)
-    hooked = base.at[jnp.arange(B)[:, None], pf].min(roots)
-    newp = jnp.minimum(pf, hooked)
-    for _ in range(2):
-      newp = jnp.take_along_axis(newp, newp, axis=1)
-    changed = jnp.any(newp != pf)
-    return newp.reshape(B, sy, sx), changed, it + 1
+  def body(state):
+    L, _ = state
+    L2 = sweep(L)
+    return L2, jnp.any(L2 != L)
 
-  state = (p0, jnp.asarray(True), jnp.asarray(0, jnp.int32))
-  p, _, _ = jax.lax.while_loop(cond, body_wrapped, state)
-  pf = p.reshape(B, n)
+  L1 = sweep(L0)
+  L, _ = jax.lax.while_loop(cond, body, (L1, jnp.asarray(True)))
+  pf = L.reshape(B, n)
 
-  # first-visit renumber: roots are component min indices; rank them
+  # first-visit renumber: component roots are min indices
   is_root = pf == jnp.arange(n, dtype=jnp.int32)[None, :]
   rank = jnp.cumsum(is_root.astype(jnp.int32), axis=1) - 1
   cc = jnp.take_along_axis(rank, pf, axis=1)
@@ -296,13 +293,67 @@ def _ccl_batch(vcg, sx, sy, ccl_iters: int):
 
 
 # ---------------------------------------------------------------------------
-# Label painting
+# Public entry points
 # ---------------------------------------------------------------------------
+
+@functools.partial(
+  jax.jit, static_argnames=("sx", "sy", "permissible", "ccl_iters")
+)
+def decode_slices_to_ccl(packed, nbytes, nodes, n_chains,
+                         sx: int, sy: int, permissible: bool,
+                         ccl_iters: int = 0):
+  """Batched slice decode: packed crack bytes -> first-visit CCL.
+
+  packed:   (B, CAP_B) uint8  packed move bytes (BOC stripped)
+  nbytes:   (B,)       int32  valid byte count per slice
+  nodes:    (B, CAP_CH) int32 chain start corner nodes (sorted)
+  n_chains: (B,)       int32  valid chain count per slice
+
+  Returns (cc_labels (B, sy*sx) int32, N (B,) int32).
+  """
+  vcg = decode_slices_to_vcg.__wrapped__(
+    packed, nbytes, nodes, n_chains, sx=sx, sy=sy,
+    permissible=permissible,
+  )
+  return _ccl_batch(vcg, sx, sy, ccl_iters)
+
+
+@functools.partial(
+  jax.jit, static_argnames=("sx", "sy", "permissible")
+)
+def decode_slices_to_vcg(packed, nbytes, nodes, n_chains,
+                         sx: int, sy: int, permissible: bool):
+  """Batched slice decode to voxel connectivity graphs (B, sy*sx)."""
+  return jax.vmap(
+    lambda p, nb, nd, nc: _decode_one_vcg(p, nb, nd, nc, sx, sy,
+                                          permissible)
+  )(packed, nbytes, nodes, n_chains)
+
+
+@functools.partial(
+  jax.jit, static_argnames=("sx", "sy", "permissible", "ccl_iters")
+)
+def decode_slices_full(packed, nbytes, nodes, n_chains, key_offsets,
+                       keys, uniq32,
+                       sx: int, sy: int, permissible: bool,
+                       ccl_iters: int = 0):
+  """Fused decode straight to painted labels (uniq32: uint32 table).
+
+  Returns (labels (B, sy*sx) uint32, cc (B, sy*sx) int32, N (B,)).
+  The output stays on device; this is the TPU-native consumption path
+  (feed decoded segmentation directly into downstream device code)."""
+  cc, N = decode_slices_to_ccl.__wrapped__(
+    packed, nbytes, nodes, n_chains, sx=sx, sy=sy,
+    permissible=permissible, ccl_iters=ccl_iters,
+  )
+  key_idx = keys[cc + key_offsets[:, None]]
+  labels = uniq32[key_idx]
+  return labels, cc, N
+
 
 @jax.jit
 def paint_keys(cc, N, key_offsets, keys):
-  """cc (B, n) window-local component ids -> global key indices via
-  per-slice offsets, then gather the uniq-index keys."""
+  """cc (B, n) window-local component ids -> uniq-index keys."""
   off = key_offsets[:, None]
   return keys[cc + off]
 

@@ -101,6 +101,46 @@ def decode_window_ccl(binary: bytes, z_start: int, z_end: int,
   return cc, N
 
 
+def _flat_label_tables(head, binary):
+  lb = bytes(_codec.raw_labels(binary))
+  n_labels = _labels_ops.decode_num_labels(head, lb)
+  uniq = _labels_ops.decode_uniq(head, lb)
+  cpg = _labels_ops.components_per_grid(head, lb).astype(np.int64)
+  cum = np.concatenate([[0], np.cumsum(cpg)])
+  offset = (8 + n_labels * head.stored_data_width
+            + head.component_width() * head.num_grids())
+  keys = np.frombuffer(lb, offset=offset, dtype=compute_dtype(n_labels))
+  return uniq, cum, keys
+
+
+def decode_window_device(binary: bytes, z_start: int, z_end: int):
+  """Fused device decode of a z window: everything stays on device.
+
+  Returns (labels (B, sy*sx) device array, cc, N, head) — the
+  TPU-native consumption path (decoded segmentation feeds downstream
+  device code without a host roundtrip) — or None for fallback
+  streams."""
+  head = _codec.header(binary)
+  if head.label_format != LabelFormat.FLAT:
+    return None
+  inputs = prepare_slice_inputs(binary, z_start, z_end)
+  if inputs is None:
+    return None
+  uniq, cum, keys = _flat_label_tables(head, binary)
+  if uniq.dtype.itemsize > 4:
+    return None  # u64 labels: painted on host via decode_window
+  permissible = head.crack_format == CrackFormat.PERMISSIBLE
+  labels, cc, N = _dec.decode_slices_full(
+    jnp.asarray(inputs["packed"]), jnp.asarray(inputs["nbytes"]),
+    jnp.asarray(inputs["nodes"]), jnp.asarray(inputs["n_chains"]),
+    jnp.asarray(cum[z_start:z_end].astype(np.int32)),
+    jnp.asarray(keys.astype(np.int32)),
+    jnp.asarray(uniq.astype(np.uint32)),
+    sx=head.sx, sy=head.sy, permissible=permissible,
+  )
+  return labels, cc, N, head
+
+
 def decode_window(binary: bytes, z_start: int, z_end: int,
                   label: Optional[int] = None,
                   check_crcs: bool = True) -> Optional[np.ndarray]:
@@ -109,43 +149,46 @@ def decode_window(binary: bytes, z_start: int, z_end: int,
   head = _codec.header(binary)
   if head.label_format != LabelFormat.FLAT:
     return None  # pins label painting is host-side for now
-  res = decode_window_ccl(binary, z_start, z_end, check_crcs=check_crcs)
-  if res is None:
-    return None
-  cc, N = res
-
-  lb = bytes(_codec.raw_labels(binary))
-  n_labels = _labels_ops.decode_num_labels(head, lb)
-  uniq = _labels_ops.decode_uniq(head, lb)
-  cpg = _labels_ops.components_per_grid(head, lb).astype(np.int64)
-  cum = np.concatenate([[0], np.cumsum(cpg)])
-
-  key_dtype = compute_dtype(n_labels)
-  offset = (8 + n_labels * head.stored_data_width
-            + head.component_width() * head.num_grids())
-  keys = np.frombuffer(lb, offset=offset, dtype=key_dtype)
-
-  key_offsets = cum[z_start:z_end].astype(np.int32)
-
-  key_idx = _dec.paint_keys(
-    jnp.asarray(cc), jnp.asarray(N), jnp.asarray(key_offsets),
-    jnp.asarray(keys.astype(np.int32)),
-  )
-  key_idx = np.asarray(key_idx)
-
-  if label is not None:
-    uq = uniq
-    pos = np.searchsorted(uq, label)
-    hit = pos < len(uq) and uq[pos] == label
-    slab = (key_idx == pos) if hit else np.zeros_like(key_idx, bool)
-    out = slab
-    out_dtype = np.dtype(bool)
-  else:
-    out = uniq[key_idx]  # host gather handles u64 without x64 concerns
-    out_dtype = head.dtype
-    out = out.astype(out_dtype, copy=False)
 
   B = z_end - z_start
+  uniq, cum, keys = _flat_label_tables(head, binary)
+
+  fused = label is None and uniq.dtype.itemsize <= 4
+  if fused:
+    res = decode_window_device(binary, z_start, z_end)
+    if res is None:
+      return None
+    labels_dev, cc_dev, N_dev, _ = res
+    out = np.asarray(labels_dev).astype(head.dtype, copy=False)
+    cc = np.asarray(cc_dev) if check_crcs else None
+  else:
+    res = decode_window_ccl(binary, z_start, z_end, check_crcs=False)
+    if res is None:
+      return None
+    cc, N = res
+    key_idx = np.asarray(_dec.paint_keys(
+      jnp.asarray(cc), jnp.asarray(N),
+      jnp.asarray(cum[z_start:z_end].astype(np.int32)),
+      jnp.asarray(keys.astype(np.int32)),
+    ))
+    if label is not None:
+      pos = np.searchsorted(uniq, label)
+      hit = pos < len(uniq) and uniq[pos] == label
+      out = (key_idx == pos) if hit else np.zeros_like(key_idx, bool)
+    else:
+      out = uniq[key_idx].astype(head.dtype, copy=False)
+
+  if check_crcs and head.format_version > 0 and cc is not None:
+    stored = _codec.crack_crcs(binary)
+    for i, z in enumerate(range(z_start, z_end)):
+      computed = crc32c(np.ascontiguousarray(cc[i].astype('<u4')))
+      if computed != int(stored[z]):
+        from ..headers import FormatError
+        raise FormatError(
+          f"crackle: crack code crc mismatch on z={z} "
+          f"computed: {computed} stored: {int(stored[z])}"
+        )
+
   vol = out.reshape(B, head.sy, head.sx).transpose(2, 1, 0)
   if head.fortran_order:
     return np.asfortranarray(vol)

@@ -1,0 +1,195 @@
+"""Multi-chip / multi-host scaling via jax.sharding.
+
+The codec's parallel axis is z: slices are independent streams, so
+decode and the per-slice analytics shard data-parallel over a 1-D
+device mesh with no communication; the cross-slice reductions
+(label dictionaries, histograms, stream assembly) use XLA collectives
+(all_gather / psum) over ICI.
+
+This replaces the reference's shared-memory thread pool
+(threadpool.hpp) as the scaling mechanism; see SURVEY.md section 2.5.
+"""
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..headers import CrackFormat, LabelFormat
+from ..lib import compute_dtype
+from .. import codec as _codec
+from ..ops import labels as _labels_ops
+from ..kernels import decode as _dec
+from ..kernels import engine as _engine
+
+
+def make_mesh(devices=None, axis_name: str = "z") -> Mesh:
+  """1-D device mesh over the z (slice) axis."""
+  if devices is None:
+    devices = jax.devices()
+  return Mesh(np.asarray(devices), (axis_name,))
+
+
+def _pad_batch(arrs: dict, B: int, ndev: int):
+  """Pad the batch axis to a multiple of the device count."""
+  pad = (-B) % ndev
+  if pad == 0:
+    return arrs, B
+  out = {}
+  for k, v in arrs.items():
+    if k == "head":
+      out[k] = v
+      continue
+    widths = [(0, pad)] + [(0, 0)] * (v.ndim - 1)
+    out[k] = np.pad(v, widths)
+  return out, B + pad
+
+
+def decode_window_ccl_sharded(binary: bytes, z_start: int, z_end: int,
+                              mesh: Optional[Mesh] = None):
+  """Sharded decode of a z window to per-slice CCL images: each device
+  decodes a contiguous block of slices (pure data parallelism)."""
+  if mesh is None:
+    mesh = make_mesh()
+  axis = mesh.axis_names[0]
+  ndev = mesh.devices.size
+
+  inputs = _engine.prepare_slice_inputs(binary, z_start, z_end)
+  if inputs is None:
+    return None
+  head = inputs["head"]
+  B = z_end - z_start
+  inputs, Bp = _pad_batch(inputs, B, ndev)
+
+  batch_sharding = NamedSharding(mesh, P(axis))
+  args = [
+    jax.device_put(jnp.asarray(inputs[k]), batch_sharding)
+    for k in ("packed", "nbytes", "nodes", "n_chains")
+  ]
+  permissible = head.crack_format == CrackFormat.PERMISSIBLE
+  cc, N = _dec.decode_slices_to_ccl(
+    *args, sx=head.sx, sy=head.sy, permissible=permissible
+  )
+  return np.asarray(cc)[:B], np.asarray(N)[:B], head
+
+
+def decompress_sharded(binary: bytes, mesh: Optional[Mesh] = None
+                       ) -> Optional[np.ndarray]:
+  """Decode the full volume with z-slices sharded across the mesh."""
+  head = _codec.header(binary)
+  if head.label_format != LabelFormat.FLAT:
+    return None
+  res = decode_window_ccl_sharded(binary, 0, head.sz, mesh)
+  if res is None:
+    return None
+  cc, N, head = res
+
+  lb = bytes(_codec.raw_labels(binary))
+  n_labels = _labels_ops.decode_num_labels(head, lb)
+  uniq = _labels_ops.decode_uniq(head, lb)
+  cpg = _labels_ops.components_per_grid(head, lb).astype(np.int64)
+  cum = np.concatenate([[0], np.cumsum(cpg)])
+  offset = (8 + n_labels * head.stored_data_width
+            + head.component_width() * head.num_grids())
+  keys = np.frombuffer(lb, offset=offset, dtype=compute_dtype(n_labels))
+
+  key_idx = np.asarray(_dec.paint_keys(
+    jnp.asarray(cc), jnp.asarray(N),
+    jnp.asarray(cum[:head.sz].astype(np.int32)),
+    jnp.asarray(keys.astype(np.int32)),
+  ))
+  out = uniq[key_idx].astype(head.dtype, copy=False)
+  vol = out.reshape(head.sz, head.sy, head.sx).transpose(2, 1, 0)
+  return np.asfortranarray(vol) if head.fortran_order else \
+      np.ascontiguousarray(vol)
+
+
+# ---------------------------------------------------------------------------
+# Sharded reductions: the collective patterns of the codec
+# ---------------------------------------------------------------------------
+
+def voxel_counts_sharded(binary: bytes, mesh: Optional[Mesh] = None
+                         ) -> Optional[dict]:
+  """Per-label voxel counts with the histogram reduced across the mesh
+  via psum (the TPU equivalent of the reference's mutex-merged maps)."""
+  if mesh is None:
+    mesh = make_mesh()
+  axis = mesh.axis_names[0]
+  ndev = mesh.devices.size
+
+  head = _codec.header(binary)
+  if head.label_format != LabelFormat.FLAT:
+    return None
+  res = decode_window_ccl_sharded(binary, 0, head.sz, mesh)
+  if res is None:
+    return None
+  cc, N, head = res
+
+  lb = bytes(_codec.raw_labels(binary))
+  n_labels = _labels_ops.decode_num_labels(head, lb)
+  uniq = _labels_ops.decode_uniq(head, lb)
+  cpg = _labels_ops.components_per_grid(head, lb).astype(np.int64)
+  cum = np.concatenate([[0], np.cumsum(cpg)])
+  offset = (8 + n_labels * head.stored_data_width
+            + head.component_width() * head.num_grids())
+  keys = np.frombuffer(lb, offset=offset, dtype=compute_dtype(n_labels))
+
+  B = head.sz
+  pad = (-B) % ndev
+  ccp = np.pad(cc, [(0, pad), (0, 0)])
+  offs = np.pad(cum[:B].astype(np.int32), (0, pad))
+  valid = np.pad(np.ones(B, bool), (0, pad))
+
+  batch_sharding = NamedSharding(mesh, P(axis))
+
+  @functools.partial(
+    jax.jit,
+    in_shardings=(batch_sharding, batch_sharding, batch_sharding, None),
+    out_shardings=None,
+  )
+  def histogram(cc, offs, valid, keys):
+    key_idx = keys[cc + offs[:, None]]
+    key_idx = jnp.where(valid[:, None], key_idx, n_labels)
+    flat = key_idx.reshape(-1)
+    counts = jnp.zeros((n_labels + 1,), jnp.int64)
+    counts = counts.at[flat].add(1)
+    return counts[:n_labels]
+
+  counts = np.asarray(
+    histogram(jnp.asarray(ccp), jnp.asarray(offs), jnp.asarray(valid),
+              jnp.asarray(keys.astype(np.int32)))
+  )
+  return {int(l): int(c) for l, c in zip(uniq.tolist(), counts.tolist())
+          if c > 0}
+
+
+def sharded_roundtrip_step(mesh: Mesh, sx: int, sy: int):
+  """Build a jitted one-step function exercising the codec's full
+  multi-chip pattern: sharded slice decode (dp over z), a label
+  histogram reduced with psum, and an all_gather of per-shard slice
+  byte lengths (the z-index assembly pattern). Used by the driver's
+  multi-chip dry run and scaling benchmarks."""
+  axis = mesh.axis_names[0]
+
+  def step(packed, nbytes, nodes, n_chains, keys, offs):
+    # data-parallel decode of this shard's slices
+    cc, N = _dec.decode_slices_to_ccl.__wrapped__(
+      packed, nbytes, nodes, n_chains, sx=sx, sy=sy, permissible=False,
+    )
+    key_idx = keys[cc + offs[:, None]]
+    # psum histogram across shards (label dictionary reduction)
+    local_counts = jnp.zeros((keys.shape[0],), jnp.int64)
+    local_counts = local_counts.at[key_idx.reshape(-1)].add(1)
+    counts = jax.lax.psum(local_counts, axis)
+    # all_gather per-slice byte lengths in z order (z-index assembly)
+    z_index = jax.lax.all_gather(nbytes, axis, tiled=True)
+    return cc, counts, z_index
+
+  return jax.jit(jax.shard_map(
+    step, mesh=mesh,
+    in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(axis)),
+    out_specs=(P(axis), P(), P()),
+    check_vma=False,
+  ))
