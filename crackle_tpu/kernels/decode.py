@@ -37,6 +37,20 @@ import jax.numpy as jnp
 # The scope-matching sort keys need 64-bit integer range.
 jax.config.update("jax_enable_x64", True)
 
+# Persist compiled executables across processes: first-compile on the
+# tunneled TPU backend is expensive, and the decode kernels are reused
+# with bucketed shapes.
+try:
+  import os as _os
+  _cache_dir = _os.environ.get(
+    "CRACKLE_TPU_JAX_CACHE", _os.path.expanduser("~/.cache/crackle_tpu_jax")
+  )
+  _os.makedirs(_cache_dir, exist_ok=True)
+  jax.config.update("jax_compilation_cache_dir", _cache_dir)
+  jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # pragma: no cover
+  pass
+
 UP, RIGHT, DOWN, LEFT = 0, 1, 2, 3
 
 _INT32_MAX = np.iinfo(np.int32).max

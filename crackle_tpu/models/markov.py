@@ -124,6 +124,10 @@ def encode_markov(code: np.ndarray, model: np.ndarray, order: int) -> bytes:
   from the (known) codepoints themselves."""
   if len(code) == 0:
     return b''
+  from .. import native
+  res = native.markov_encode(np.asarray(code, np.uint8), model, order)
+  if res is not None:
+    return res
   ctx = contexts(code, order)
   ranks = model[ctx[1:], code[1:]] if len(code) > 1 else \
       np.zeros(0, dtype=np.uint8)
@@ -157,6 +161,16 @@ def decode_markov(stream: bytes, model: np.ndarray, order: int,
   """
   if len(stream) == 0:
     return np.zeros(0, dtype=np.uint8)
+  from .. import native
+  if native.available() and max_symbols is None:
+    inv = np.empty_like(model)
+    rows = np.arange(model.shape[0])[:, None]
+    inv[rows, model.astype(np.int64)] = \
+      np.arange(4, dtype=np.uint8)[None, :]
+    res = native.markov_decode(bytes(stream), inv, order,
+                               out_cap=8 * len(stream) + 2)
+    if res is not None:
+      return res
   bits = np.unpackbits(np.frombuffer(stream, dtype=np.uint8),
                        bitorder='little')
   nbits = len(bits)

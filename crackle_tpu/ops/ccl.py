@@ -57,6 +57,11 @@ def connected_components_slice(labels_flat: np.ndarray, sx: int, sy: int,
   n = sx * sy
   if n == 0:
     return labels_flat.astype(dtype), 0
+  from .. import native
+  res = native.ccl_slice(labels_flat, sx, sy)
+  if res is not None:
+    cc, N = res
+    return cc.astype(dtype, copy=False), N
   a = labels_flat
   idx = np.arange(n, dtype=np.int64)
   # horizontal edges: i ~ i-1 when x > 0 and labels equal
@@ -83,6 +88,11 @@ def color_connectivity_graph_slice(vcg_flat: np.ndarray, sx: int, sy: int,
   n = sx * sy
   if n == 0:
     return vcg_flat.astype(dtype), 0
+  from .. import native
+  res = native.ccl_vcg_slice(vcg_flat, sx, sy)
+  if res is not None:
+    cc, N = res
+    return cc.astype(dtype, copy=False), N
   idx = np.arange(n, dtype=np.int64)
   hmask = (idx % sx > 0) & ((vcg_flat & 0b0010) > 0)
   vmask = (idx >= sx) & ((vcg_flat & 0b1000) > 0)

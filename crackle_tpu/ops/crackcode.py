@@ -268,6 +268,16 @@ def symbols_to_codepoints(chains) -> Dict[int, List[int]]:
 def create_crack_codes(labels_flat: np.ndarray, sx: int, sy: int,
                        permissible: bool) -> Dict[int, List[int]]:
   """Full encode of one slice: labels -> {start_node: codepoints}."""
+  from .. import native
+  res = native.trace_slice(labels_flat, sx, sy, permissible)
+  if res is not None:
+    nodes, cp_lens, cps = res
+    out: Dict[int, List[int]] = {}
+    off = 0
+    for node, ln in zip(nodes.tolist(), cp_lens.tolist()):
+      out[int(node)] = cps[off:off + ln]
+      off += ln
+    return out
   adj = build_adjacency(labels_flat, sx, sy, permissible)
   if not adj.any():
     return {}
