@@ -1,0 +1,207 @@
+"""Pallas TPU kernel for per-slice connected components labeling.
+
+One grid step = one slice resident in VMEM. Labels start as flat
+raster indices and converge to each component's minimum index via
+alternating forward/backward row and column segmented-min sweeps, each
+implemented as a log-step (Hillis-Steele) doubling scan of (value,
+blocked) pairs — pure VPU rolls/selects, no HBM traffic inside the
+loop and no gathers anywhere. The format's first-visit numbering then
+falls out without a gather: rank the roots with a 2D prefix sum and
+propagate the planted ranks through a second sweep pass.
+
+Falls back to the XLA implementation (decode._ccl_batch) off-TPU or
+for shapes where a slice does not fit VMEM.
+"""
+import functools
+import sys
+
+# deep unrolled scan chains in the kernel exceed the default python
+# recursion limit during tracing
+if sys.getrecursionlimit() < 10000:
+  sys.setrecursionlimit(10000)
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INT32_MAX = np.iinfo(np.int32).max
+
+
+def _roll_down(a, s, axis, fill):
+  """a shifted s steps toward higher indices along axis:
+  out[i] = a[i-s], fill for i < s. (static s, int32 arrays only --
+  Mosaic lacks i1 vector rotates/selects)."""
+  rolled = pltpu.roll(a, jnp.int32(s), axis=axis)
+  pos = jax.lax.broadcasted_iota(jnp.int32, a.shape, axis)
+  return jnp.where(pos < s, jnp.full_like(a, fill), rolled)
+
+
+def _roll_up(a, s, axis, fill):
+  """out[i] = a[i+s], fill for i >= size-s. (static s)"""
+  size = a.shape[axis]
+  rolled = pltpu.roll(a, jnp.int32(size - s), axis=axis)
+  pos = jax.lax.broadcasted_iota(jnp.int32, a.shape, axis)
+  return jnp.where(pos >= size - s, jnp.full_like(a, fill), rolled)
+
+
+def _seg_min_fwd(L, blocked, axis):
+  """v[i] = min of the maximal connected run ending at i.
+  blocked[i] (int32 0/1) 1 = not connected to predecessor."""
+  size = L.shape[axis]
+  v, f = L, blocked
+  s = 1
+  while s < size:
+    v_s = _roll_down(v, s, axis, _INT32_MAX)
+    f_s = _roll_down(f, s, axis, 1)
+    v = jnp.where(f > 0, v, jnp.minimum(v, v_s))
+    f = f | f_s
+    s *= 2
+  return v
+
+
+def _seg_min_bwd(L, blocked_b, axis):
+  """v[i] = min of the maximal connected run starting at i.
+  blocked_b[i] (int32 0/1) 1 = not connected to successor."""
+  size = L.shape[axis]
+  v, f = L, blocked_b
+  s = 1
+  while s < size:
+    v_s = _roll_up(v, s, axis, _INT32_MAX)
+    f_s = _roll_up(f, s, axis, 1)
+    v = jnp.where(f > 0, v, jnp.minimum(v, v_s))
+    f = f | f_s
+    s *= 2
+  return v
+
+
+def _changed(a, b):
+  # jnp.any / 64-bit intermediates choke the Mosaic lowering under
+  # x64; reduce and carry strictly in int32
+  one = jnp.ones(a.shape, jnp.int32)
+  zero = jnp.zeros(a.shape, jnp.int32)
+  return jnp.max(jnp.where(a != b, one, zero))
+
+
+def _ccl_kernel(vcg_ref, cc_ref, *, sx, sy):
+  # work in int32 from the start: Mosaic lacks some i8 vector ops
+  v = vcg_ref[0].astype(jnp.int32)
+  yy = jax.lax.broadcasted_iota(jnp.int32, (sy, sx), 0)
+  xx = jax.lax.broadcasted_iota(jnp.int32, (sy, sx), 1)
+
+  one = jnp.ones((sy, sx), jnp.int32)
+  zero = jnp.zeros((sy, sx), jnp.int32)
+  left_ok = jnp.where(((v & 0b0010) > 0) & (xx > 0), one, zero)
+  up_ok = jnp.where(((v & 0b1000) > 0) & (yy > 0), one, zero)
+
+  bxf = 1 - left_ok
+  bxb = 1 - _roll_up(left_ok, 1, 1, 0)       # not connected to x+1
+  byf = 1 - up_ok
+  byb = 1 - _roll_up(up_ok, 1, 0, 0)         # not connected to y+1
+
+  def sweep(L):
+    L = _seg_min_fwd(L, bxf, 1)
+    L = _seg_min_bwd(L, bxb, 1)
+    L = _seg_min_fwd(L, byf, 0)
+    L = _seg_min_bwd(L, byb, 0)
+    return L
+
+  L0 = yy * sx + xx
+
+  def cond(state):
+    _L, changed = state
+    return changed > 0
+
+  def body(state):
+    L, _ = state
+    L2 = sweep(L)
+    return L2, _changed(L2, L)
+
+  L1 = sweep(L0)
+  L, _ = jax.lax.while_loop(cond, body, (L1, _changed(L1, L0)))
+
+  # first-visit rank of each root via a raster-order 2D prefix sum
+  is_root = (L == L0)
+  row_cum = is_root.astype(jnp.int32)
+  s = 1
+  while s < sx:
+    row_cum = row_cum + _roll_down(row_cum, s, 1, 0)
+    s *= 2
+  row_tot = jax.lax.broadcast_in_dim(
+    row_cum[:, sx - 1], (sy, sx), (0,)
+  )
+  # inclusive cumsum of row totals down the rows
+  row_off = row_tot
+  s = 1
+  while s < sy:
+    row_off = row_off + _roll_down(row_off, s, 0, 0)
+    s *= 2
+  rank = row_cum + (row_off - row_tot) - 1
+
+  # plant ranks at roots and re-propagate (gather-free renumber)
+  R0 = jnp.where(is_root, rank, jnp.int32(_INT32_MAX))
+
+  def body2(state):
+    R, _ = state
+    R2 = sweep(R)
+    return R2, _changed(R2, R)
+
+  R1 = sweep(R0)
+  R, _ = jax.lax.while_loop(cond, body2, (R1, _changed(R1, R0)))
+
+  cc_ref[0] = R
+
+
+def ccl_batch_traced(vcg, sx: int, sy: int):
+  """Trace-time entry: call inside an enclosing jit."""
+  B = vcg.shape[0]
+  v2 = vcg.reshape(B, sy, sx)
+
+  kernel = functools.partial(_ccl_kernel, sx=sx, sy=sy)
+  # trace the kernel with x64 disabled: the global x64 mode (needed by
+  # the decode sort keys) breaks Mosaic's while_loop lowering
+  with jax.enable_x64(False):
+    cc = pl.pallas_call(
+      kernel,
+      grid=(B,),
+      in_specs=[
+        pl.BlockSpec((1, sy, sx), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((1, sy, sx), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((B, sy, sx), jnp.int32),
+    )(v2)
+  cc = cc.reshape(B, sy * sx)
+  # ranks are dense 0..N-1 per slice
+  N = (jnp.max(cc, axis=1) + 1).astype(jnp.int32)
+  return cc, N
+
+
+ccl_batch_pallas = jax.jit(ccl_batch_traced,
+                           static_argnames=("sx", "sy"))
+
+
+def _vmem_ok(sx: int, sy: int) -> bool:
+  # ~8 (sy, sx) int32 buffers live at once; stay well under VMEM
+  return 4 * sx * sy * 8 <= 12 * 1024 * 1024 and sx >= 2 and sy >= 2
+
+
+import os as _os
+
+_NO_PALLAS = _os.environ.get("CRACKLE_TPU_NO_PALLAS", "") == "1"
+
+
+def use_pallas(sx: int, sy: int) -> bool:
+  return (not _NO_PALLAS and _vmem_ok(sx, sy)
+          and jax.default_backend() == "tpu")
+
+
+def ccl_batch(vcg, sx: int, sy: int):
+  """Dispatch: Pallas sweep kernel on TPU, XLA fallback elsewhere.
+  Safe to call inside an enclosing jit trace."""
+  from . import decode as _dec
+  if use_pallas(sx, sy):
+    return ccl_batch_traced(vcg, sx=sx, sy=sy)
+  return _dec._ccl_batch(vcg, sx, sy)

@@ -329,7 +329,8 @@ def decode_slices_to_ccl(packed, nbytes, nodes, n_chains,
     packed, nbytes, nodes, n_chains, sx=sx, sy=sy,
     permissible=permissible,
   )
-  return _ccl_batch(vcg, sx, sy, ccl_iters)
+  from . import ccl_pallas
+  return ccl_pallas.ccl_batch(vcg, sx, sy)
 
 
 @functools.partial(
