@@ -879,7 +879,7 @@ def check(binary: bytes) -> dict:
   for z in range(head.sz):
     try:
       decompress_range(binary, z, z + 1, 0)
-    except (FormatError, RuntimeError, ValueError):
+    except (FormatError, RuntimeError, ValueError, IndexError):
       sections["z"].append(z)
   return sections
 

@@ -151,6 +151,39 @@ def _ccl_kernel(vcg_ref, cc_ref, *, sx, sy):
   R, _ = jax.lax.while_loop(cond, body2, (R1, _changed(R1, R0)))
 
   cc_ref[0] = R
+  return is_root, rank, sweep, cond, R
+
+
+def _ccl_paint_kernel(vcg_ref, t_ref, cc_ref, painted_ref, *, sx, sy,
+                      cap_n):
+  """CCL + in-kernel label paint: plant each root's painted value
+  (t_ref[rank]) with a bounded table loop — no gathers — then min-
+  propagate. Valid values are unique per component, so min-propagation
+  of a single finite plant reproduces the gather."""
+  is_root, rank, sweep, cond, R = _ccl_kernel(
+    vcg_ref, cc_ref, sx=sx, sy=sy
+  )
+
+  n_comp = jnp.max(jnp.where(is_root, rank, jnp.zeros_like(rank))) + 1
+
+  def plant_body(k, acc):
+    tk = t_ref[0, 0, k]
+    return jnp.where(rank == k, jnp.full_like(acc, tk), acc)
+
+  planted = jax.lax.fori_loop(
+    0, jnp.minimum(n_comp, cap_n), plant_body,
+    jnp.full((sy, sx), _INT32_MAX, jnp.int32),
+  )
+  V0 = jnp.where(is_root, planted, jnp.int32(_INT32_MAX))
+
+  def body3(state):
+    Vv, _ = state
+    V2 = sweep(Vv)
+    return V2, _changed(V2, Vv)
+
+  V1 = sweep(V0)
+  Vv, _ = jax.lax.while_loop(cond, body3, (V1, _changed(V1, V0)))
+  painted_ref[0] = Vv
 
 
 def ccl_batch_traced(vcg, sx: int, sy: int):
@@ -181,6 +214,46 @@ def ccl_batch_traced(vcg, sx: int, sy: int):
 
 ccl_batch_pallas = jax.jit(ccl_batch_traced,
                            static_argnames=("sx", "sy"))
+
+
+def ccl_paint_traced(vcg, T, sx: int, sy: int):
+  """CCL + in-kernel paint. T: (B, 1, CAP_N) int32 painted-value
+  table per slice (bitcast of uint32 labels). Returns (cc, N,
+  painted int32)."""
+  B = vcg.shape[0]
+  cap_n = T.shape[2]
+  v2 = vcg.reshape(B, sy, sx)
+
+  kernel = functools.partial(_ccl_paint_kernel, sx=sx, sy=sy,
+                             cap_n=cap_n)
+  with jax.enable_x64(False):
+    cc, painted = pl.pallas_call(
+      kernel,
+      grid=(B,),
+      in_specs=[
+        pl.BlockSpec((1, sy, sx), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, cap_n), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+      ],
+      out_specs=[
+        pl.BlockSpec((1, sy, sx), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, sy, sx), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+      ],
+      out_shape=[
+        jax.ShapeDtypeStruct((B, sy, sx), jnp.int32),
+        jax.ShapeDtypeStruct((B, sy, sx), jnp.int32),
+      ],
+    )(v2, T)
+  cc = cc.reshape(B, sy * sx)
+  N = (jnp.max(cc, axis=1) + 1).astype(jnp.int32)
+  return cc, N, painted.reshape(B, sy * sx)
+
+
+# paint-table loop stays cheap only for moderate component counts
+PAINT_CAP_N = 2048
 
 
 def _vmem_ok(sx: int, sy: int) -> bool:

@@ -346,6 +346,26 @@ def decode_slices_to_vcg(packed, nbytes, nodes, n_chains,
 
 
 @functools.partial(
+  jax.jit, static_argnames=("sx", "sy", "permissible")
+)
+def decode_slices_full_plant(packed, nbytes, nodes, n_chains, T,
+                             sx: int, sy: int, permissible: bool):
+  """Fused decode with the in-kernel plant-paint (Pallas) path.
+
+  T: (B, 1, CAP_N) int32 per-slice painted-value tables.
+  Returns (labels uint32, cc int32, N int32) — all device-resident.
+  """
+  from . import ccl_pallas
+  vcg = decode_slices_to_vcg.__wrapped__(
+    packed, nbytes, nodes, n_chains, sx=sx, sy=sy,
+    permissible=permissible,
+  )
+  cc, N, painted = ccl_pallas.ccl_paint_traced(vcg, T, sx, sy)
+  labels = jax.lax.bitcast_convert_type(painted, jnp.uint32)
+  return labels, cc, N
+
+
+@functools.partial(
   jax.jit, static_argnames=("sx", "sy", "permissible", "ccl_iters")
 )
 def decode_slices_full(packed, nbytes, nodes, n_chains, key_offsets,

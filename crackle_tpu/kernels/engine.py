@@ -130,6 +130,28 @@ def decode_window_device(binary: bytes, z_start: int, z_end: int):
   if uniq.dtype.itemsize > 4:
     return None  # u64 labels: painted on host via decode_window
   permissible = head.crack_format == CrackFormat.PERMISSIBLE
+
+  from . import ccl_pallas
+  n_per_slice = cum[z_start + 1:z_end + 1] - cum[z_start:z_end]
+  max_n = int(n_per_slice.max()) if len(n_per_slice) else 1
+  cap_n = _next_pow2(max(max_n, 8))
+  if (ccl_pallas.use_pallas(head.sx, head.sy)
+      and cap_n <= ccl_pallas.PAINT_CAP_N):
+    # in-kernel plant paint: build per-slice painted-value tables
+    t_flat = uniq.astype(np.uint32).view(np.int32)[
+      keys.astype(np.int64)
+    ]
+    t_pad = np.concatenate([t_flat, np.zeros(cap_n, np.int32)])
+    idx = cum[z_start:z_end, None] + np.arange(cap_n)[None, :]
+    T = t_pad[idx.astype(np.int64)].astype(np.int32)
+    labels, cc, N = _dec.decode_slices_full_plant(
+      jnp.asarray(inputs["packed"]), jnp.asarray(inputs["nbytes"]),
+      jnp.asarray(inputs["nodes"]), jnp.asarray(inputs["n_chains"]),
+      jnp.asarray(T[:, None, :]),
+      sx=head.sx, sy=head.sy, permissible=permissible,
+    )
+    return labels, cc, N, head
+
   labels, cc, N = _dec.decode_slices_full(
     jnp.asarray(inputs["packed"]), jnp.asarray(inputs["nbytes"]),
     jnp.asarray(inputs["nodes"]), jnp.asarray(inputs["n_chains"]),

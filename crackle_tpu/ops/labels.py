@@ -125,6 +125,11 @@ def decode_flat(header, labels_binary: bytes, z_start: int, z_end: int,
     labels_binary, dtype=width2dtype[cc_label_width],
     count=count, offset=offset,
   )
+  if len(keys) and int(keys.max()) >= len(uniq):
+    from ..headers import FormatError
+    raise FormatError(
+      "crackle: labels section is corrupted (key index out of range)."
+    )
   return uniq[keys].astype(out_dtype, copy=False)
 
 
