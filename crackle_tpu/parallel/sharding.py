@@ -165,7 +165,8 @@ def voxel_counts_sharded(binary: bytes, mesh: Optional[Mesh] = None
           if c > 0}
 
 
-def sharded_roundtrip_step(mesh: Mesh, sx: int, sy: int):
+def sharded_roundtrip_step(mesh: Mesh, sx: int, sy: int,
+                           permissible: bool = False):
   """Build a jitted one-step function exercising the codec's full
   multi-chip pattern: sharded slice decode (dp over z), a label
   histogram reduced with psum, and an all_gather of per-shard slice
@@ -176,7 +177,7 @@ def sharded_roundtrip_step(mesh: Mesh, sx: int, sy: int):
   def step(packed, nbytes, nodes, n_chains, keys, offs):
     # data-parallel decode of this shard's slices
     cc, N = _dec.decode_slices_to_ccl.__wrapped__(
-      packed, nbytes, nodes, n_chains, sx=sx, sy=sy, permissible=False,
+      packed, nbytes, nodes, n_chains, sx=sx, sy=sy, permissible=permissible,
     )
     key_idx = keys[cc + offs[:, None]]
     # psum histogram across shards (label dictionary reduction)

