@@ -477,13 +477,25 @@ def _decode_slice_ccl(code: bytes, head: CrackleHeader, markov_model,
 def _full_decode(binary: bytes, z_start: int, z_end: int,
                  label: Optional[int] = None) -> np.ndarray:
   """Decode of a z window (crackle.hpp decompress parity). Routes to
-  the JAX/TPU engine when enabled and the stream is eligible."""
+  the JAX/TPU engine when enabled and the stream is eligible, else to
+  the native C++ decoder, else the vectorized numpy path."""
   if _jax_engine_enabled():
     from .kernels import engine as _engine
     out = _engine.decode_window(binary, z_start, z_end, label=label)
     if out is not None:
       return out
   head = header(binary)
+  if label is None and head.label_format == LabelFormat.FLAT:
+    from . import native
+    try:
+      out = native.decompress_stream(
+        binary, z_start, z_end, (head.sx, head.sy, head.sz),
+        head.data_width, head.fortran_order,
+      )
+    except ValueError as e:
+      raise FormatError(str(e))
+    if out is not None:
+      return out
   sx, sy = head.sx, head.sy
   sxy = sx * sy
   szr = z_end - z_start

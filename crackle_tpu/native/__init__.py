@@ -68,6 +68,8 @@ def load():
   lib.crackle_markov_decode.argtypes = [p, i64, p, i64, p, i64]
   lib.crackle_markov_encode.restype = i64
   lib.crackle_markov_encode.argtypes = [p, i64, p, i64, p, i64]
+  lib.crackle_decompress_stream.restype = i64
+  lib.crackle_decompress_stream.argtypes = [p, i64, i64, i64, p, i64]
 
   _lib = lib
   return _lib
@@ -186,3 +188,28 @@ def markov_encode(diffs: np.ndarray, model: np.ndarray, order: int):
   if n < 0:
     return None
   return out[:n].tobytes()
+
+
+def decompress_stream(binary: bytes, z_start: int, z_end: int,
+                      shape, data_width: int, fortran_order: bool):
+  """Full native decode of a flat-label stream z-window. Returns the
+  (sx, sy, szr) array or None (unsupported stream / lib missing).
+  Raises ValueError on crc mismatch."""
+  lib = load()
+  if lib is None:
+    return None
+  sx, sy, sz = shape
+  szr = z_end - z_start
+  dtype = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}[data_width]
+  order = 'F' if fortran_order else 'C'
+  out = np.empty((sx, sy, szr), dtype=dtype, order=order)
+  buf = np.frombuffer(binary, np.uint8)
+  rc = lib.crackle_decompress_stream(
+    _ptr(buf), len(binary), z_start, z_end,
+    out.ctypes.data_as(ctypes.c_void_p), out.nbytes,
+  )
+  if rc == 0:
+    return out
+  if rc == -4:
+    raise ValueError("crackle: crc mismatch during native decode")
+  return None

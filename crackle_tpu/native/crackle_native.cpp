@@ -587,3 +587,303 @@ int64_t crackle_markov_encode(
 }
 
 }  // extern "C"
+
+// =====================================================================
+// Self-contained stream decompressor (C ABI).
+//
+// Plays the role of the reference's embeddable/wasm port
+// (wasm/crackle_wasm.cc): a dependency-free decoder of full .ckl
+// streams, and the fast host fallback path. Supports v1 flat-label
+// streams with or without a markov model; pin streams return -3 (the
+// python layer decodes those).
+// =====================================================================
+
+namespace {
+
+uint32_t crc32c_table_[256];
+bool crc32c_init_done_ = false;
+
+void crc32c_init() {
+  if (crc32c_init_done_) return;
+  for (uint32_t i = 0; i < 256; i++) {
+    uint32_t crc = i;
+    for (int k = 0; k < 8; k++) {
+      crc = (crc & 1) ? (crc >> 1) ^ 0x82F63B78u : crc >> 1;
+    }
+    crc32c_table_[i] = crc;
+  }
+  crc32c_init_done_ = true;
+}
+
+uint32_t crc32c(const uint8_t* data, size_t n) {
+  crc32c_init();
+  uint32_t crc = 0xFFFFFFFFu;
+  for (size_t i = 0; i < n; i++) {
+    crc = crc32c_table_[(crc ^ data[i]) & 0xFF] ^ (crc >> 8);
+  }
+  return crc ^ 0xFFFFFFFFu;
+}
+
+uint64_t rd(const uint8_t* p, int width) {
+  uint64_t v = 0;
+  for (int i = 0; i < width; i++) v |= (uint64_t)p[i] << (8 * i);
+  return v;
+}
+
+int byte_width(uint64_t x) {
+  if (x <= 0xFF) return 1;
+  if (x <= 0xFFFF) return 2;
+  if (x <= 0xFFFFFFFFull) return 4;
+  return 8;
+}
+
+struct Header {
+  int version;
+  int data_width, stored_width;
+  int crack_format, label_format;
+  bool fortran_order, is_signed, is_sorted;
+  int markov_order;
+  uint64_t sx, sy, sz;
+  uint64_t num_label_bytes;
+};
+
+// returns 0 ok, <0 error
+int parse_header(const uint8_t* b, size_t n, Header& h) {
+  if (n < 29) return -1;
+  if (!(b[0]=='c' && b[1]=='r' && b[2]=='k' && b[3]=='l')) return -1;
+  h.version = b[4];
+  if (h.version != 1) return -1;
+  uint16_t fmt = (uint16_t)rd(b + 5, 2);
+  h.data_width = 1 << (fmt & 3);
+  h.stored_width = 1 << ((fmt >> 2) & 3);
+  h.crack_format = (fmt >> 4) & 1;
+  h.label_format = (fmt >> 5) & 3;
+  h.fortran_order = (fmt >> 7) & 1;
+  h.is_signed = (fmt >> 8) & 1;
+  h.markov_order = (fmt >> 9) & 0xF;
+  h.is_sorted = !((fmt >> 13) & 1);
+  h.sx = rd(b + 7, 4);
+  h.sy = rd(b + 11, 4);
+  h.sz = rd(b + 15, 4);
+  h.num_label_bytes = rd(b + 20, 8);
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decompress a full v1 flat-label stream into out (voxels *
+// data_width bytes, fortran order as flagged in the header).
+// Returns 0 on success; -1 malformed; -2 unsupported width;
+// -3 pin streams (python path); -4 crc mismatch.
+int64_t crackle_decompress_stream(
+  const uint8_t* buf, int64_t n,
+  int64_t z0, int64_t z1,
+  void* out, int64_t out_cap
+) {
+  Header h;
+  if (parse_header(buf, (size_t)n, h) != 0) return -1;
+  if (h.label_format != 0) return -3;  // pins -> python
+  const int64_t sx = (int64_t)h.sx, sy = (int64_t)h.sy,
+                sz = (int64_t)h.sz;
+  const int64_t sxy = sx * sy;
+  if (z0 < 0) z0 = 0;
+  if (z1 < 0 || z1 > sz) z1 = sz;
+  if (z0 >= z1) return -1;
+  const int64_t szr = z1 - z0;
+  const int64_t voxels = sxy * szr;
+  if (out_cap < voxels * h.data_width) return -1;
+  if (voxels == 0) return 0;
+
+  // z-index
+  size_t off = 29;
+  if ((int64_t)(off + 4 * (sz + 1)) > n) return -1;
+  std::vector<uint64_t> z_len(sz);
+  for (int64_t z = 0; z < sz; z++) z_len[z] = rd(buf + off + 4 * z, 4);
+  uint32_t zcrc = (uint32_t)rd(buf + off + 4 * sz, 4);
+  if (crc32c(buf + off, 4 * sz) != zcrc) return -4;
+  off += 4 * (sz + 1);
+
+  // flat labels
+  const uint8_t* lb = buf + off;
+  if ((int64_t)(off + h.num_label_bytes) > n) return -1;
+  uint64_t num_labels = rd(lb, 8);
+  const uint8_t* uniq = lb + 8;
+  const uint8_t* cpg = uniq + num_labels * h.stored_width;
+  int cw = byte_width((uint64_t)sxy);
+  const uint8_t* keys = cpg + (uint64_t)cw * sz;
+  int kw = byte_width(num_labels);
+  std::vector<uint64_t> cum(sz + 1, 0);
+  for (int64_t z = 0; z < sz; z++) {
+    cum[z + 1] = cum[z] + rd(cpg + (uint64_t)cw * z, cw);
+  }
+  off += h.num_label_bytes;
+
+  // markov model
+  std::vector<uint8_t> model_inv;  // rank -> dir, 4^k rows
+  if (h.markov_order > 0) {
+    uint64_t rows = 1;
+    for (int i = 0; i < h.markov_order; i++) rows *= 4;
+    uint64_t mbytes = (rows * 5 + 4) / 8;
+    if ((int64_t)(off + mbytes) > n) return -1;
+    model_inv.resize(rows * 4);
+    // 24 permutations of (0,1,2,3) in lexicographic (itertools) order
+    uint8_t perms[24][4];
+    {
+      int idx = 0;
+      int a[4] = {0, 1, 2, 3};
+      // generate lexicographic permutations
+      int p0[4];
+      for (p0[0] = 0; p0[0] < 4; p0[0]++)
+      for (p0[1] = 0; p0[1] < 4; p0[1]++)
+      for (p0[2] = 0; p0[2] < 4; p0[2]++)
+      for (p0[3] = 0; p0[3] < 4; p0[3]++) {
+        bool ok = true;
+        for (int i = 0; i < 4 && ok; i++)
+          for (int j = i + 1; j < 4; j++)
+            if (p0[i] == p0[j]) { ok = false; break; }
+        if (ok) {
+          for (int i = 0; i < 4; i++) perms[idx][i] = (uint8_t)p0[i];
+          idx++;
+        }
+      }
+      (void)a;
+    }
+    const uint8_t* ms = buf + off;
+    for (uint64_t r = 0; r < rows; r++) {
+      uint64_t bitpos = r * 5;
+      uint64_t byte0 = bitpos >> 3;
+      int shift = (int)(bitpos & 7);
+      uint32_t w = ms[byte0];
+      if (byte0 + 1 < mbytes) w |= (uint32_t)ms[byte0 + 1] << 8;
+      uint32_t idx5 = (w >> shift) & 0x1F;
+      if (idx5 >= 24) idx5 = idx5 % 24;
+      // stored row packs dir-of-rank at 2-bit fields
+      for (int rank = 0; rank < 4; rank++) {
+        model_inv[r * 4 + rank] = perms[idx5][rank];
+      }
+    }
+    off += mbytes;
+  }
+
+  // crc sections at the end
+  const uint8_t* labels_crc_p = buf + n - 4 * (sz + 1);
+  const uint8_t* crack_crcs = buf + n - 4 * sz;
+
+  std::vector<uint64_t> z_off(sz + 1, off);
+  for (int64_t z = 0; z < sz; z++) z_off[z + 1] = z_off[z] + z_len[z];
+  (void)labels_crc_p;
+
+  std::vector<uint8_t> vcg(sxy);
+  std::vector<uint32_t> ccl(sxy);
+  std::vector<uint8_t> cps;
+  std::vector<int64_t> nodes;
+
+  for (int64_t z = z0; z < z1; z++) {
+    const int64_t zi = z - z0;
+    const uint8_t* code = buf + z_off[z];
+    uint64_t clen = z_len[z];
+    nodes.clear();
+    cps.clear();
+
+    if (clen > 0) {
+      // BOC index
+      uint64_t index_size = 4 + rd(code, 4);
+      int xw = byte_width(h.sx + 1);
+      int yw = byte_width(h.sy + 1);
+      uint64_t p = 4;
+      uint64_t num_y = rd(code + p, yw); p += yw;
+      uint64_t y = 0;
+      for (uint64_t yi = 0; yi < num_y; yi++) {
+        y += rd(code + p, yw); p += yw;
+        uint64_t num_x = rd(code + p, xw); p += xw;
+        uint64_t x = 0;
+        for (uint64_t xi = 0; xi < num_x; xi++) {
+          x += rd(code + p, xw); p += xw;
+          nodes.push_back((int64_t)(x + (h.sx + 1) * y));
+        }
+      }
+
+      if (h.markov_order > 0) {
+        uint64_t rows = 1;
+        for (int i = 0; i < h.markov_order; i++) rows *= 4;
+        (void)rows;
+        int64_t cap = (int64_t)(clen - index_size) * 8 + 2;
+        cps.resize(cap);
+        int64_t got = crackle_markov_decode(
+          code + index_size, clen - index_size,
+          model_inv.data(), h.markov_order, cps.data(), cap
+        );
+        cps.resize(got);
+      } else {
+        // unpack 2-bit diffs + undiff
+        uint64_t nb = clen - index_size;
+        cps.resize(nb * 4);
+        uint8_t acc = 0;
+        for (uint64_t i = 0; i < nb; i++) {
+          uint8_t b8 = code[index_size + i];
+          for (int j = 0; j < 4; j++) {
+            acc = (uint8_t)((acc + ((b8 >> (2 * j)) & 3)) & 3);
+            cps[i * 4 + j] = acc;
+          }
+        }
+      }
+    }
+
+    int64_t rc = crackle_replay_vcg(
+      cps.data(), (int64_t)cps.size(), nodes.data(),
+      (int64_t)nodes.size(), sx, sy, h.crack_format,
+      [&]() {
+        uint8_t base = h.crack_format ? 0 : 0b1111;
+        std::fill(vcg.begin(), vcg.end(), base);
+        return vcg.data();
+      }()
+    );
+    if (rc < 0) return -1;
+
+    int64_t N = crackle_ccl_vcg_slice(vcg.data(), sx, sy, ccl.data());
+    if (N < 0) return -1;
+
+    uint32_t stored = (uint32_t)rd(crack_crcs + 4 * z, 4);
+    uint32_t computed = crc32c(
+      reinterpret_cast<const uint8_t*>(ccl.data()), sxy * 4
+    );
+    if (stored != computed) return -4;
+
+    // paint
+    uint64_t key_base = cum[z];
+    #define PAINT(OUT_T) do { \
+      OUT_T* o = reinterpret_cast<OUT_T*>(out); \
+      if (h.fortran_order) { \
+        OUT_T* oz = o + zi * sxy; \
+        for (int64_t i = 0; i < sxy; i++) { \
+          uint64_t key = rd(keys + (key_base + ccl[i]) * kw, kw); \
+          oz[i] = (OUT_T)rd(uniq + key * h.stored_width, h.stored_width); \
+        } \
+      } else { \
+        for (int64_t yy2 = 0; yy2 < sy; yy2++) { \
+          for (int64_t xx2 = 0; xx2 < sx; xx2++) { \
+            int64_t i = xx2 + sx * yy2; \
+            uint64_t key = rd(keys + (key_base + ccl[i]) * kw, kw); \
+            o[zi + szr * (yy2 + sy * xx2)] = \
+              (OUT_T)rd(uniq + key * h.stored_width, h.stored_width); \
+          } \
+        } \
+      } \
+    } while (0)
+
+    switch (h.data_width) {
+      case 1: PAINT(uint8_t); break;
+      case 2: PAINT(uint16_t); break;
+      case 4: PAINT(uint32_t); break;
+      case 8: PAINT(uint64_t); break;
+      default: return -2;
+    }
+    #undef PAINT
+  }
+
+  return 0;
+}
+
+}  // extern "C"
