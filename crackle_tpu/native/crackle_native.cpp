@@ -11,6 +11,7 @@
 // follow the reference (src/crackcodes.hpp, src/cc3d.hpp).
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -775,12 +776,20 @@ int64_t crackle_decompress_stream(
   for (int64_t z = 0; z < sz; z++) z_off[z + 1] = z_off[z] + z_len[z];
   (void)labels_crc_p;
 
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t n_threads = hw ? (int64_t)hw : 1;
+  if (n_threads > szr) n_threads = szr;
+  if (n_threads < 1) n_threads = 1;
+
+  std::vector<int64_t> rcs(n_threads, 0);
+
+  auto worker = [&](int64_t t) {
   std::vector<uint8_t> vcg(sxy);
   std::vector<uint32_t> ccl(sxy);
   std::vector<uint8_t> cps;
   std::vector<int64_t> nodes;
 
-  for (int64_t z = z0; z < z1; z++) {
+  for (int64_t z = z0 + t; z < z1; z += n_threads) {
     const int64_t zi = z - z0;
     const uint8_t* code = buf + z_off[z];
     uint64_t clen = z_len[z];
@@ -840,16 +849,16 @@ int64_t crackle_decompress_stream(
         return vcg.data();
       }()
     );
-    if (rc < 0) return -1;
+    if (rc < 0) { rcs[t] = -1; return; }
 
     int64_t N = crackle_ccl_vcg_slice(vcg.data(), sx, sy, ccl.data());
-    if (N < 0) return -1;
+    if (N < 0) { rcs[t] = -1; return; }
 
     uint32_t stored = (uint32_t)rd(crack_crcs + 4 * z, 4);
     uint32_t computed = crc32c(
       reinterpret_cast<const uint8_t*>(ccl.data()), sxy * 4
     );
-    if (stored != computed) return -4;
+    if (stored != computed) { rcs[t] = -4; return; }
 
     // paint
     uint64_t key_base = cum[z];
@@ -878,9 +887,24 @@ int64_t crackle_decompress_stream(
       case 2: PAINT(uint16_t); break;
       case 4: PAINT(uint32_t); break;
       case 8: PAINT(uint64_t); break;
-      default: return -2;
+      default: rcs[t] = -2; return;
     }
     #undef PAINT
+  }
+  };  // worker
+
+  if (n_threads == 1) {
+    worker(0);
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(n_threads);
+    for (int64_t t = 0; t < n_threads; t++) {
+      pool.emplace_back(worker, t);
+    }
+    for (auto& th : pool) th.join();
+  }
+  for (int64_t t = 0; t < n_threads; t++) {
+    if (rcs[t] != 0) return rcs[t];
   }
 
   return 0;
