@@ -1,0 +1,177 @@
+"""API-surface tests covering the remaining reference behaviors:
+casting rules, array operators, recompress, iteration subsets,
+z-window labels, structure checks."""
+import numpy as np
+import pytest
+
+import crackle_tpu as crackle
+
+
+def random_volume(shape, num_labels, seed, smooth=0, dtype=np.uint32):
+  rng = np.random.RandomState(seed)
+  a = rng.randint(0, num_labels, size=shape).astype(dtype)
+  for _ in range(smooth):
+    axis = rng.randint(0, len(shape))
+    a = np.where(rng.rand(*shape) < 0.6, np.roll(a, 1, axis=axis), a)
+  return np.asfortranarray(a)
+
+
+def test_astype_casting_rules():
+  vol = random_volume((6, 6, 3), 5, seed=0)
+  binary = crackle.compress(vol)
+  with pytest.raises(TypeError):
+    crackle.astype(binary, np.uint8, casting="no")
+  with pytest.raises(TypeError):
+    crackle.astype(binary, np.int32)
+  # safe casting honors the actual max
+  small = crackle.astype(binary, np.uint8, casting="safe")
+  np.testing.assert_array_equal(
+    crackle.decompress(small), vol.astype(np.uint8)
+  )
+  big = crackle.compress(vol + 300)
+  with pytest.raises(TypeError):
+    crackle.astype(big, np.uint8, casting="safe")
+
+
+def test_array_operators():
+  vol = random_volume((6, 6, 3), 5, seed=1) + 10
+  arr = crackle.compressa(vol)
+  np.testing.assert_array_equal((arr + 5)[:, :, :], vol + 5)
+  np.testing.assert_array_equal((arr - 3)[:, :, :], vol - 3)
+  np.testing.assert_array_equal((arr * 2)[:, :, :], vol * 2)
+  np.testing.assert_array_equal((arr // 2)[:, :, :], vol // 2)
+  arr2 = crackle.compressa(vol)
+  assert arr == arr2
+  const = crackle.compressa(np.full_like(vol, 7))
+  assert const == 7
+
+
+def test_recompress_drops_false_boundaries():
+  vol = random_volume((8, 8, 6), 4, seed=2, smooth=3)
+  binary = crackle.compress(vol)
+  uniq = np.unique(vol)
+  # merge everything into one label -> crack codes stay oversegmented
+  merged = crackle.condense_unique(
+    crackle.remap(binary, {int(u): 1 for u in uniq})
+  )
+  recompressed = crackle.recompress(merged)
+  np.testing.assert_array_equal(
+    crackle.decompress(recompressed), np.ones_like(vol)
+  )
+  assert len(recompressed) < len(merged)
+
+
+def test_each_with_label_subset():
+  vol = random_volume((6, 6, 3), 5, seed=3, smooth=1)
+  binary = crackle.compress(vol)
+  uniq = np.unique(vol)
+  want = {int(uniq[0]), int(uniq[-1])}
+  seen = set()
+  for label, img in crackle.each(binary, labels=want, crop=False):
+    seen.add(int(label))
+    np.testing.assert_array_equal(img, vol == label)
+  assert seen == want
+
+
+def test_each_cropped_matches_bbox():
+  vol = random_volume((8, 8, 4), 4, seed=4, smooth=2)
+  binary = crackle.compress(vol)
+  bbxes = crackle.bounding_boxes(binary)
+  for label, img in crackle.each(binary, crop=True):
+    slc = bbxes[label]
+    gt = (vol == label)[slc[0], slc[1], :]
+    np.testing.assert_array_equal(img, gt)
+
+
+def test_point_cloud_multi_label():
+  vol = np.zeros((10, 10, 2), dtype=np.uint32, order="F")
+  vol[2:5, 2:5, :] = 3
+  vol[6:9, 6:9, :] = 8
+  binary = crackle.compress(vol)
+  ptc = crackle.point_cloud(binary, [3, 8])
+  assert set(ptc.keys()) == {3, 8}
+  assert crackle.point_cloud(binary, 3).shape[1] == 3
+  with pytest.raises(ValueError):
+    crackle.point_cloud(binary, 999)
+
+
+def test_labels_for_z_range_pins_raises():
+  from crackle_tpu.headers import LabelFormat
+  vol = random_volume((8, 8, 6), 3, seed=5, smooth=6)
+  binary = crackle.compress(vol, allow_pins=1)
+  head = crackle.header(binary)
+  if head.label_format != LabelFormat.PINS_VARIABLE_WIDTH:
+    pytest.skip("volume did not trigger pin encoding")
+  with pytest.raises(crackle.FormatError):
+    crackle.labels_for_z_range(binary, 0, 2)
+
+
+def test_components_and_lengths():
+  vol = random_volume((6, 6, 3), 4, seed=6)
+  binary = crackle.compress(vol)
+  comps = crackle.components(binary)
+  lens = crackle.component_lengths(binary)
+  assert lens['header'] == 29
+  assert lens['z_index'] == 4 * (3 + 1)
+  assert lens['crcs'] == 4 * (3 + 1)
+  total = sum(lens.values())
+  assert total == len(binary)
+  # boc of first slice's crack code
+  codes = crackle.crack_codes(binary)
+  from crackle_tpu.codec import boc
+  b = boc(codes[0])
+  assert len(b) == 4 + int.from_bytes(codes[0][:4], 'little')
+
+
+def test_structure_equal_independent_of_labels():
+  vol = random_volume((6, 6, 3), 4, seed=7, smooth=2)
+  b1 = crackle.compress(vol)
+  b2 = crackle.compress(vol * 10 + 3)
+  assert crackle.structure_equal(b1, b2)
+
+
+def test_decompress_range_invalid():
+  vol = random_volume((6, 6, 3), 4, seed=8)
+  binary = crackle.compress(vol)
+  from crackle_tpu.codec import decompress_range
+  with pytest.raises(ValueError):
+    decompress_range(binary, 2, 2, 0)
+
+
+def test_zeros_ones_helpers():
+  z = crackle.zeros((5, 4, 3), dtype=np.uint32, order="F")
+  np.testing.assert_array_equal(
+    crackle.decompress(z), np.zeros((5, 4, 3), np.uint32)
+  )
+  o = crackle.ones((5, 4, 3), dtype=np.uint32, order="F")
+  np.testing.assert_array_equal(
+    crackle.decompress(o), np.ones((5, 4, 3), np.uint32)
+  )
+
+
+def test_zstack_pins_roundtrip():
+  vol = random_volume((8, 8, 8), 3, seed=9, smooth=8)
+  b1 = crackle.compress(
+    np.asfortranarray(vol[:, :, :4]), allow_pins=1
+  )
+  b2 = crackle.compress(
+    np.asfortranarray(vol[:, :, 4:]), allow_pins=1
+  )
+  h1 = crackle.header(b1)
+  from crackle_tpu.headers import LabelFormat
+  if (h1.label_format != LabelFormat.PINS_VARIABLE_WIDTH
+      or crackle.header(b2).label_format !=
+      LabelFormat.PINS_VARIABLE_WIDTH):
+    pytest.skip("volume did not trigger pin encoding")
+  try:
+    stacked = crackle.zstack([b1, b2])
+  except ValueError as e:
+    if "background colors" in str(e):
+      pytest.skip("parts chose different bgcolors")
+    raise
+  np.testing.assert_array_equal(crackle.decompress(stacked), vol)
+
+
+def test_cli_entrypoint_importable():
+  from crackle_tpu.cli import main
+  assert callable(main)
