@@ -118,8 +118,6 @@ def _decode_one_vcg(packed, nbytes, nodes, n_chains, sx, sy, permissible):
 
   depth_after = c + chain_of + 1
 
-  # --- next chain-end position (covers depth-1 scopes) ---
-  # reverse scan: first is_end position >= i
   def last_set_scan(v, f):
     def comb(a, b):
       av, af = a
@@ -127,25 +125,26 @@ def _decode_one_vcg(packed, nbytes, nodes, n_chains, sx, sy, permissible):
       return (jnp.where(bf, bv, av), af | bf)
     return jax.lax.associative_scan(comb, (v, f))[0]
 
-  next_end = last_set_scan(
-    jnp.where(is_end, idx, CAP)[::-1], is_end[::-1]
-  )[::-1]
-  next_end = jnp.where(is_end, idx, next_end)  # inclusive
-
   # --- branch-scope matching: one sort by (depth, position) ---
   # entries: moves & branch opens at their depth; terms at the depth
-  # of the scope they close (depth_after + 1). Only depth >= 2 scopes
-  # need the sort; depth-1 moves resolve to next_end.
+  # of the scope they close (depth_after + 1). Depth-1 entries pair
+  # moves with their chain's final terminate across chain boundaries.
   main_active = valid & (is_move | is_branch | is_term)
   depth_evt = jnp.where(is_term, depth_after + 1, depth_after)
   is_close_i = is_term & valid
-  # key: depth * (2*CAP) + position, close flag and position embedded
-  BIG = jnp.int64(2 * CAP + 2)
-  INF = jnp.int64(2 ** 62)
+  # key: (depth * (2*CAP+2) + position) << 1 | close. Max value is
+  # ~4*CAP^2, which fits int32 for CAP <= 16384 (the common bucket);
+  # int64 (x64) otherwise.
+  if 4 * CAP * CAP + 8 * CAP < 2 ** 31:
+    kdt = jnp.int32
+  else:
+    kdt = jnp.int64
+  BIG = kdt(2 * CAP + 2)
+  INF = kdt(np.iinfo(np.dtype(kdt)).max)
   keys = jnp.where(
     main_active,
-    ((depth_evt.astype(jnp.int64) * BIG + idx.astype(jnp.int64)) << 1)
-    | is_close_i.astype(jnp.int64),
+    ((depth_evt.astype(kdt) * BIG + idx.astype(kdt)) << 1)
+    | is_close_i.astype(kdt),
     INF,
   )
   skeys = jnp.sort(keys)
@@ -164,9 +163,7 @@ def _decode_one_vcg(packed, nbytes, nodes, n_chains, sx, sy, permissible):
   targets = jnp.where(~is_inf_s & ~is_close_s, pos_s, CAP)
   E_at = jnp.full((CAP + 1,), CAP, jnp.int32) \
     .at[targets].set(nextclose_s, mode='drop')
-  E_deep = E_at[:CAP]
-
-  close_of_move = jnp.where(depth_after == 1, next_end, E_deep)
+  close_of_move = E_at[:CAP]
 
   # --- position replay ---
   deltas = jnp.where(
