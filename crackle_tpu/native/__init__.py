@@ -83,6 +83,9 @@ def _ptr(arr: np.ndarray):
   return arr.ctypes.data_as(ctypes.c_void_p)
 
 
+_trace_scratch = {}
+
+
 def trace_slice(labels_flat: np.ndarray, sx: int, sy: int,
                 permissible: bool):
   """C++ crack trace of one slice. Returns (nodes, cp_lens,
@@ -97,11 +100,20 @@ def trace_slice(labels_flat: np.ndarray, sx: int, sy: int,
   cps_cap = sym_cap * 2
   max_chains = sx * sy + 8
 
-  adj = np.zeros(n_corners, np.uint8)
-  symbols = np.zeros(sym_cap, np.uint8)
-  cps = np.zeros(cps_cap, np.uint8)
-  nodes = np.zeros(max_chains, np.int64)
-  cp_lens = np.zeros(max_chains, np.int64)
+  # scratch buffers are reused across slices (the C side initializes
+  # what it reads)
+  key = (sx, sy)
+  bufs = _trace_scratch.get(key)
+  if bufs is None:
+    bufs = (
+      np.zeros(n_corners, np.uint8),
+      np.zeros(sym_cap, np.uint8),
+      np.zeros(cps_cap, np.uint8),
+      np.zeros(max_chains, np.int64),
+      np.zeros(max_chains, np.int64),
+    )
+    _trace_scratch[key] = bufs
+  adj, symbols, cps, nodes, cp_lens = bufs
 
   n_chains = lib.crackle_trace_slice(
     _ptr(labels_flat), width, sx, sy, int(permissible),

@@ -39,11 +39,17 @@ def encode_flat(labels: np.ndarray, sx: int, sy: int, sz: int,
   for z in range(sz):
     sl = labels[z * sxy:(z + 1) * sxy]
     cc, n = connected_components_slice(sl, sx, sy)
-    # label of each component = source label at its first-visit voxel
-    # components are numbered by first visit, so first_idx (keyed by
-    # sorted component id) is already in component-id order
-    _, first_idx = np.unique(cc, return_index=True)
-    per_slice_mapping.append(sl[first_idx] if n else sl[:0])
+    # label of each component = source label at its first-visit voxel;
+    # components are numbered by first visit, so their first
+    # occurrences appear in increasing id order: a position is a first
+    # visit iff its id exceeds the running max (O(n), no sort)
+    if n:
+      cci = cc.astype(np.int64)
+      runmax = np.maximum.accumulate(np.concatenate([[-1], cci[:-1]]))
+      first_idx = np.flatnonzero(cci > runmax)
+      per_slice_mapping.append(sl[first_idx])
+    else:
+      per_slice_mapping.append(sl[:0])
     num_per_slice[z] = n
     crcs[z] = crc32c(np.ascontiguousarray(cc, dtype='<u4'))
 
