@@ -85,6 +85,12 @@ def _changed(a, b):
 
 
 def _ccl_kernel(vcg_ref, cc_ref, *, sx, sy):
+  # pallas kernels must return None; _ccl_core returns the
+  # intermediates the paint kernel reuses
+  _ccl_core(vcg_ref, cc_ref, sx=sx, sy=sy)
+
+
+def _ccl_core(vcg_ref, cc_ref, *, sx, sy):
   # work in int32 from the start: Mosaic lacks some i8 vector ops
   v = vcg_ref[0].astype(jnp.int32)
   yy = jax.lax.broadcasted_iota(jnp.int32, (sy, sx), 0)
@@ -160,7 +166,7 @@ def _ccl_paint_kernel(vcg_ref, t_ref, cc_ref, painted_ref, *, sx, sy,
   (t_ref[rank]) with a bounded table loop — no gathers — then min-
   propagate. Valid values are unique per component, so min-propagation
   of a single finite plant reproduces the gather."""
-  is_root, rank, sweep, cond, R = _ccl_kernel(
+  is_root, rank, sweep, cond, R = _ccl_core(
     vcg_ref, cc_ref, sx=sx, sy=sy
   )
 

@@ -57,40 +57,58 @@ _INT32_MAX = np.iinfo(np.int32).max
 
 
 # ---------------------------------------------------------------------------
-# Per-slice decode: packed bytes -> VCG
+# Batched slice decode: packed bytes -> VCG
 # ---------------------------------------------------------------------------
 
 def _shift_right(x, fill):
-  """x shifted one step toward higher indices (x[i] -> out[i+1])."""
-  return jnp.concatenate([jnp.full((1,), fill, x.dtype), x[:-1]])
+  """x shifted one step toward higher indices along the last axis."""
+  pad = jnp.full(x.shape[:-1] + (1,), fill, x.dtype)
+  return jnp.concatenate([pad, x[..., :-1]], axis=-1)
 
 
 def _shift_left(x, fill):
-  return jnp.concatenate([x[1:], jnp.full((1,), fill, x.dtype)])
+  pad = jnp.full(x.shape[:-1] + (1,), fill, x.dtype)
+  return jnp.concatenate([x[..., 1:], pad], axis=-1)
 
 
-def _decode_one_vcg(packed, nbytes, nodes, n_chains, sx, sy, permissible):
-  """One slice: packed bytes -> 4-bit VCG (sy*sx,) uint8."""
-  CAP_CH = nodes.shape[0]
-  n_cps = (nbytes * 4).astype(jnp.int32)
+def _decode_vcg_batch(packed, nbytes, nodes, n_chains, sx, sy,
+                      permissible):
+  """Batched: packed crack bytes (B, CAP_B) -> 4-bit VCG (B, sy*sx).
+
+  The replay is expressed without a single large gather or scatter:
+  scans classify and segment the codepoint stream, ONE sort matches
+  every move to the terminate that unwinds its scope (the move's
+  direction bits ride inside the sort key), and the two remaining
+  scatters — scope-cancellation into the position accumulator and
+  edge-presence painting into the slice raster — run as one-hot
+  matmuls on the MXU (kernels/mxu_scatter.py). Mirrors the
+  reference's sequential stack replay (crackcodes.hpp:523-603 state
+  machine, 706-862 VCG paint) bit-for-bit; oracle = ops/crackcode.py.
+  """
+  from . import mxu_scatter
+
+  B, CAP_B = packed.shape
+  CAP = CAP_B * 4
+  CAP_CH = nodes.shape[1]
+  n_cps = (nbytes * 4).astype(jnp.int32)[:, None]
+  n_chains = n_chains[:, None]
   sxe = sx + 1
 
   # --- unpack 2-bit diffs, undiff via cumsum mod 4 ---
   b = packed.astype(jnp.int32)
   diffs = jnp.stack(
-    [b & 3, (b >> 2) & 3, (b >> 4) & 3, (b >> 6) & 3], axis=1
-  ).reshape(-1)
-  CAP = diffs.shape[0]
-  idx = jnp.arange(CAP, dtype=jnp.int32)
+    [b & 3, (b >> 2) & 3, (b >> 4) & 3, (b >> 6) & 3], axis=2
+  ).reshape(B, CAP)
+  idx = jnp.arange(CAP, dtype=jnp.int32)[None, :]
   in_range = idx < n_cps
   diffs = jnp.where(in_range, diffs, 0)
-  cps = (jnp.cumsum(diffs) & 3).astype(jnp.int32)
+  cps = (jnp.cumsum(diffs, axis=1) & 3).astype(jnp.int32)
 
   # --- classify: pair-second via run parity of the reversal flag ---
   prev = _shift_right(cps, 255)
   r = ((cps ^ prev) == 0b10) & in_range
   run_start = jnp.where(r & ~_shift_right(r, False), idx, -1)
-  run_start = jax.lax.cummax(jnp.where(r, run_start, -1))
+  run_start = jax.lax.cummax(jnp.where(r, run_start, -1), axis=1)
   is_second = r & (((idx - run_start) & 1) == 0)
 
   pair_first = _shift_left(is_second, False)
@@ -102,101 +120,124 @@ def _decode_one_vcg(packed, nbytes, nodes, n_chains, sx, sy, permissible):
 
   # --- chain segmentation ---
   tok = jnp.where(is_branch, 1, 0) - jnp.where(is_term, 1, 0)
-  c = jnp.cumsum(tok)
-  runmin = _shift_right(jax.lax.cummin(c), 0)
+  c = jnp.cumsum(tok, axis=1)
+  runmin = _shift_right(jax.lax.cummin(c, axis=1), 0)
   runmin = jnp.minimum(runmin, 0)
   is_end = (c < runmin) & in_range
 
-  end_cum = jnp.cumsum(is_end.astype(jnp.int32))
+  end_cum = jnp.cumsum(is_end.astype(jnp.int32), axis=1)
   cnt_before = end_cum - is_end  # ends strictly before i
   chain_of = jnp.clip(cnt_before, 0, jnp.maximum(n_chains - 1, 0))
   prev_is_end = _shift_right(is_end, False)
-  prev2_is_end = _shift_right(prev_is_end, False)
   valid = (cnt_before < n_chains) | prev_is_end
-  is_start = ((idx == 0) & (n_chains > 0)) | \
-      (prev2_is_end & (cnt_before < n_chains))
 
   depth_after = c + chain_of + 1
 
-  def last_set_scan(v, f):
-    def comb(a, b):
-      av, af = a
-      bv, bf = b
-      return (jnp.where(bf, bv, av), af | bf)
-    return jax.lax.associative_scan(comb, (v, f))[0]
-
   # --- branch-scope matching: one sort by (depth, position) ---
-  # entries: moves & branch opens at their depth; terms at the depth
-  # of the scope they close (depth_after + 1). Depth-1 entries pair
-  # moves with their chain's final terminate across chain boundaries.
-  main_active = valid & (is_move | is_branch | is_term)
+  # entries: moves at their depth; terms at the depth of the scope
+  # they close (depth_after + 1). Within a depth, order by stream
+  # position; a move's unwind point is the next close in its depth
+  # segment. Chain-level (depth 1) scopes resolve against the final
+  # terminate of their chain, which lands in the same segment.
+  # Key layout: (depth * CAP + idx) << 3 | close << 2 | cps, so the
+  # sorted keys alone carry everything the downstream stages need.
+  # depth <= branches + 1 <= CAP/2 + 2, so the key fits int32 for
+  # CAP <= 16384 (the common bucket); int64 (x64) otherwise.
   depth_evt = jnp.where(is_term, depth_after + 1, depth_after)
   is_close_i = is_term & valid
-  # key: (depth * (2*CAP+2) + position) << 1 | close. Max value is
-  # ~4*CAP^2, which fits int32 for CAP <= 16384 (the common bucket);
-  # int64 (x64) otherwise.
-  if 4 * CAP * CAP + 8 * CAP < 2 ** 31:
+  if (CAP // 2 + 2) * CAP * 8 + CAP * 8 + 8 < 2 ** 31:
     kdt = jnp.int32
   else:
     kdt = jnp.int64
-  BIG = kdt(2 * CAP + 2)
   INF = kdt(np.iinfo(np.dtype(kdt)).max)
+  active_i = valid & (is_move | is_term)
   keys = jnp.where(
-    main_active,
-    ((depth_evt.astype(kdt) * BIG + idx.astype(kdt)) << 1)
-    | is_close_i.astype(kdt),
+    active_i,
+    (((depth_evt.astype(kdt) * CAP + idx.astype(kdt)) << 3)
+     | (is_close_i.astype(kdt) << 2) | cps.astype(kdt)),
     INF,
   )
-  skeys = jnp.sort(keys)
-  is_inf_s = skeys >= INF
-  is_close_s = (skeys & 1) == 1
-  pos_s = ((skeys >> 1) % BIG).astype(jnp.int32)
-  depth_s = ((skeys >> 1) // BIG).astype(jnp.int32)
+  skeys = jnp.sort(keys, axis=1)
+  is_inf_s = skeys == INF
+  cps_s = (skeys & 3).astype(jnp.int32)
+  is_close_s = ((skeys >> 2) & 1).astype(jnp.bool_) & ~is_inf_s
+  body_s = skeys >> 3
+  pos_s = (body_s % CAP).astype(jnp.int32)
+  depth_s = (body_s // CAP).astype(jnp.int32)
 
-  # reverse segmented scan: next close at same depth
+  # reverse segmented scan: next close at same depth. Single-array
+  # last-set scan: sentinel -1 means "keep the running value".
   seg_last = (depth_s != _shift_left(depth_s, -1)) | is_inf_s
-  setv = jnp.where(is_close_s, pos_s, CAP)
   setf = is_close_s | seg_last
-  nextclose_s = last_set_scan(setv[::-1], setf[::-1])[::-1]
+  e = jnp.where(setf, jnp.where(is_close_s, pos_s, CAP), -1)
 
-  # self-addressed unscatter: E_at[pos] for non-close entries
-  targets = jnp.where(~is_inf_s & ~is_close_s, pos_s, CAP)
-  E_at = jnp.full((CAP + 1,), CAP, jnp.int32) \
-    .at[targets].set(nextclose_s, mode='drop')
-  close_of_move = E_at[:CAP]
+  def comb(a, bb):
+    return jnp.where(bb < 0, a, bb)
 
-  # --- position replay ---
+  nextclose_s = jax.lax.associative_scan(
+    comb, e[:, ::-1], axis=1)[:, ::-1]
+  nextclose_s = jnp.where(nextclose_s < 0, CAP, nextclose_s)
+
+  # --- scope cancellation as an MXU scatter-add ---
+  # every move adds its delta at its own index (elementwise) and
+  # subtracts it at its unwind point: -delta = w_h + sxe * w_v with
+  # w in {-1, 0, 1}.
+  move_s = ~is_inf_s & ~is_close_s
+  w_h = (jnp.where(move_s & (cps_s == LEFT), 1, 0)
+         - jnp.where(move_s & (cps_s == RIGHT), 1, 0))
+  w_v = (jnp.where(move_s & (cps_s == UP), 1, 0)
+         - jnp.where(move_s & (cps_s == DOWN), 1, 0))
+  tgt = jnp.where(move_s, nextclose_s, CAP)
+  cancel_h, cancel_v = mxu_scatter.scatter_add_multi(
+    tgt, (w_h, w_v), n_bins=CAP + 1)
+
   deltas = jnp.where(
     cps == UP, -sxe,
     jnp.where(cps == RIGHT, 1, jnp.where(cps == DOWN, sxe, -1))
   ).astype(jnp.int32)
   deltas = jnp.where(is_move & valid, deltas, 0)
 
-  acc = jnp.concatenate([deltas, jnp.zeros((1,), jnp.int32)])
-  acc = acc.at[jnp.where(is_move & valid, close_of_move, CAP)] \
-    .add(-deltas, mode='drop')
+  acc = jnp.concatenate(
+    [deltas, jnp.zeros((B, 1), jnp.int32)], axis=1)
+  acc = acc + cancel_h + sxe * cancel_v
 
-  # chain-start node contributions (tiny scatters over CAP_CH)
-  ends_c = jnp.nonzero(is_end, size=CAP_CH, fill_value=CAP)[0] \
-    .astype(jnp.int32)
-  chain_ok = jnp.arange(CAP_CH) < n_chains
+  # --- chain-start node contributions ---
+  # chain ends located with the same MXU trick (idx split into
+  # bf16-exact base-256 digits), then two tiny scatters plant each
+  # chain's start node over its extent.
+  rank = jnp.where(is_end, end_cum - 1, -1)
+  iw = jnp.where(is_end, idx, 0)
+  e2, e1, e0 = mxu_scatter.scatter_add_multi(
+    rank, (iw >> 16, (iw >> 8) & 255, iw & 255),
+    n_bins=CAP_CH, lo_dim=128)
+  ends_c = (e2 << 16) + (e1 << 8) + e0  # (B, CAP_CH)
+
+  chain_ok = jnp.arange(CAP_CH)[None, :] < n_chains
   starts_c = jnp.where(
     chain_ok,
-    jnp.concatenate([jnp.zeros((1,), jnp.int32), ends_c[:-1] + 2]),
+    jnp.concatenate(
+      [jnp.zeros((B, 1), jnp.int32), ends_c[:, :-1] + 2], axis=1),
     CAP,
   )
   next_starts_c = jnp.where(
-    chain_ok, jnp.concatenate([starts_c[1:], jnp.full((1,), CAP,
-                                                      jnp.int32)]), CAP
+    chain_ok,
+    jnp.concatenate(
+      [starts_c[:, 1:], jnp.full((B, 1), CAP, jnp.int32)], axis=1),
+    CAP,
   )
   node_vals = jnp.where(chain_ok, nodes, 0).astype(jnp.int32)
-  acc = acc.at[starts_c].add(node_vals, mode='drop')
-  acc = acc.at[next_starts_c].add(-node_vals, mode='drop')
+  rows = (jnp.arange(B, dtype=jnp.int32)[:, None] * (CAP + 1))
+  acc_flat = acc.reshape(-1)
+  acc_flat = acc_flat.at[(rows + starts_c).reshape(-1)].add(
+    node_vals.reshape(-1), mode='drop')
+  acc_flat = acc_flat.at[(rows + next_starts_c).reshape(-1)].add(
+    -node_vals.reshape(-1), mode='drop')
+  acc = acc_flat.reshape(B, CAP + 1)
 
-  pos_after = jnp.cumsum(acc[:CAP])
+  pos_after = jnp.cumsum(acc[:, :CAP], axis=1)
   pos_before = pos_after - deltas
 
-  # --- paint presence rasters (one fused scatter) ---
+  # --- paint presence rasters (MXU one-hot matmul) ---
   py = pos_before // sxe
   px = pos_before - py * sxe
 
@@ -215,19 +256,18 @@ def _decode_one_vcg(packed, nbytes, nodes, n_chains, sx, sy, permissible):
       )
     )
   )
-  # negative indices only arise from corrupt codes; drop them (the
-  # host-side crc check reports corruption)
-  vh_idx = jnp.where(vh_idx >= 0, vh_idx, OOB)
+  # negative/out-of-range indices (corrupt codes) drop for free
 
-  VH = jnp.zeros((OOB,), jnp.uint8).at[vh_idx].max(1, mode='drop')
-  V2 = VH[:NV].reshape(sy, sxe)
-  H2 = VH[NV:].reshape(sy + 1, sx)
+  VH = mxu_scatter.scatter_presence(vh_idx, n_bins=OOB) \
+    .astype(jnp.uint8)
+  V2 = VH[:, :NV].reshape(B, sy, sxe)
+  H2 = VH[:, NV:].reshape(B, sy + 1, sx)
 
-  vcg = (V2[:, 1:]
-         | (V2[:, :sx] << 1)
-         | (H2[1:, :] << 2)
-         | (H2[:sy, :] << 3))
-  vcg = vcg.reshape(-1)
+  vcg = (V2[:, :, 1:]
+         | (V2[:, :, :sx] << 1)
+         | (H2[:, 1:, :] << 2)
+         | (H2[:, :sy, :] << 3))
+  vcg = vcg.reshape(B, sy * sx)
   if not permissible:
     vcg = vcg ^ 0b1111
   return vcg
@@ -336,10 +376,8 @@ def decode_slices_to_ccl(packed, nbytes, nodes, n_chains,
 def decode_slices_to_vcg(packed, nbytes, nodes, n_chains,
                          sx: int, sy: int, permissible: bool):
   """Batched slice decode to voxel connectivity graphs (B, sy*sx)."""
-  return jax.vmap(
-    lambda p, nb, nd, nc: _decode_one_vcg(p, nb, nd, nc, sx, sy,
-                                          permissible)
-  )(packed, nbytes, nodes, n_chains)
+  return _decode_vcg_batch(packed, nbytes, nodes, n_chains, sx, sy,
+                           permissible)
 
 
 @functools.partial(
