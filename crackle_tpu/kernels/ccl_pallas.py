@@ -162,10 +162,10 @@ def _ccl_core(vcg_ref, cc_ref, *, sx, sy):
 
 def _ccl_paint_kernel(vcg_ref, t_ref, cc_ref, painted_ref, *, sx, sy,
                       cap_n):
-  """CCL + in-kernel label paint: plant each root's painted value
-  (t_ref[rank]) with a bounded table loop — no gathers — then min-
-  propagate. Valid values are unique per component, so min-propagation
-  of a single finite plant reproduces the gather."""
+  """CCL + in-kernel label paint: the propagated rank image cc_ref is
+  a dense component id per pixel, so painting is a bounded table loop
+  over it (painted = t[cc] without a gather) — no extra propagation
+  pass."""
   is_root, rank, sweep, cond, R = _ccl_core(
     vcg_ref, cc_ref, sx=sx, sy=sy
   )
@@ -174,22 +174,12 @@ def _ccl_paint_kernel(vcg_ref, t_ref, cc_ref, painted_ref, *, sx, sy,
 
   def plant_body(k, acc):
     tk = t_ref[0, 0, k]
-    return jnp.where(rank == k, jnp.full_like(acc, tk), acc)
+    return jnp.where(R == k, jnp.full_like(acc, tk), acc)
 
-  planted = jax.lax.fori_loop(
+  painted_ref[0] = jax.lax.fori_loop(
     0, jnp.minimum(n_comp, cap_n), plant_body,
-    jnp.full((sy, sx), _INT32_MAX, jnp.int32),
+    jnp.zeros((sy, sx), jnp.int32),
   )
-  V0 = jnp.where(is_root, planted, jnp.int32(_INT32_MAX))
-
-  def body3(state):
-    Vv, _ = state
-    V2 = sweep(Vv)
-    return V2, _changed(V2, Vv)
-
-  V1 = sweep(V0)
-  Vv, _ = jax.lax.while_loop(cond, body3, (V1, _changed(V1, V0)))
-  painted_ref[0] = Vv
 
 
 def ccl_batch_traced(vcg, sx: int, sy: int):

@@ -187,9 +187,9 @@ def _decode_vcg_batch(packed, nbytes, nodes, n_chains, sx, sy,
          - jnp.where(move_s & (cps_s == RIGHT), 1, 0))
   w_v = (jnp.where(move_s & (cps_s == UP), 1, 0)
          - jnp.where(move_s & (cps_s == DOWN), 1, 0))
-  tgt = jnp.where(move_s, nextclose_s, CAP)
+  tgt = jnp.where(move_s & (nextclose_s < CAP), nextclose_s, -1)
   cancel_h, cancel_v = mxu_scatter.scatter_add_multi(
-    tgt, (w_h, w_v), n_bins=CAP + 1)
+    tgt, (w_h, w_v), n_bins=CAP)
 
   deltas = jnp.where(
     cps == UP, -sxe,
@@ -197,44 +197,61 @@ def _decode_vcg_batch(packed, nbytes, nodes, n_chains, sx, sy,
   ).astype(jnp.int32)
   deltas = jnp.where(is_move & valid, deltas, 0)
 
-  acc = jnp.concatenate(
-    [deltas, jnp.zeros((B, 1), jnp.int32)], axis=1)
-  acc = acc + cancel_h + sxe * cancel_v
+  acc = deltas + cancel_h + sxe * cancel_v
 
   # --- chain-start node contributions ---
-  # chain ends located with the same MXU trick (idx split into
-  # bf16-exact base-256 digits), then two tiny scatters plant each
-  # chain's start node over its extent.
-  rank = jnp.where(is_end, end_cum - 1, -1)
-  iw = jnp.where(is_end, idx, 0)
-  e2, e1, e0 = mxu_scatter.scatter_add_multi(
-    rank, (iw >> 16, (iw >> 8) & 255, iw & 255),
-    n_bins=CAP_CH, lo_dim=128)
-  ends_c = (e2 << 16) + (e1 << 8) + e0  # (B, CAP_CH)
+  # every move's delta cancels at or before its chain's final close,
+  # so the cumsum restarts at zero on each chain boundary and the
+  # start-node base is purely additive per chain: pos = cumsum(acc) +
+  # nodes[chain_of]. The gather rides the MXU as a one-hot matmul
+  # (bf16-exact base-256 digits) when the chain table is small; wide
+  # tables locate chain ends with the same digit-scatter trick and
+  # plant the bases with two tiny scatters instead.
+  pos_after = jnp.cumsum(acc, axis=1)
+  if CAP_CH <= 32:
+    oh = (chain_of[:, :, None]
+          == jnp.arange(CAP_CH, dtype=jnp.int32)[None, None, :])
+    oh = (oh & (valid & is_move)[:, :, None]).astype(jnp.bfloat16)
+    nd = jnp.stack(
+      [nodes >> 16, (nodes >> 8) & 255, nodes & 255], axis=2
+    ).astype(jnp.bfloat16)
+    digs = jax.lax.dot_general(
+      oh, nd, (((2,), (1,)), ((0,), (0,))),
+      preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)  # (B, CAP, 3)
+    base = (digs[:, :, 0] << 16) + (digs[:, :, 1] << 8) + digs[:, :, 2]
+    pos_after = pos_after + base
+  else:
+    rank = jnp.where(is_end, end_cum - 1, -1)
+    iw = jnp.where(is_end, idx, 0)
+    e2, e1, e0 = mxu_scatter.scatter_add_multi(
+      rank, (iw >> 16, (iw >> 8) & 255, iw & 255),
+      n_bins=CAP_CH, lo_dim=128)
+    ends_c = (e2 << 16) + (e1 << 8) + e0  # (B, CAP_CH)
 
-  chain_ok = jnp.arange(CAP_CH)[None, :] < n_chains
-  starts_c = jnp.where(
-    chain_ok,
-    jnp.concatenate(
-      [jnp.zeros((B, 1), jnp.int32), ends_c[:, :-1] + 2], axis=1),
-    CAP,
-  )
-  next_starts_c = jnp.where(
-    chain_ok,
-    jnp.concatenate(
-      [starts_c[:, 1:], jnp.full((B, 1), CAP, jnp.int32)], axis=1),
-    CAP,
-  )
-  node_vals = jnp.where(chain_ok, nodes, 0).astype(jnp.int32)
-  rows = (jnp.arange(B, dtype=jnp.int32)[:, None] * (CAP + 1))
-  acc_flat = acc.reshape(-1)
-  acc_flat = acc_flat.at[(rows + starts_c).reshape(-1)].add(
-    node_vals.reshape(-1), mode='drop')
-  acc_flat = acc_flat.at[(rows + next_starts_c).reshape(-1)].add(
-    -node_vals.reshape(-1), mode='drop')
-  acc = acc_flat.reshape(B, CAP + 1)
+    chain_ok = jnp.arange(CAP_CH)[None, :] < n_chains
+    starts_c = jnp.where(
+      chain_ok,
+      jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), ends_c[:, :-1] + 2], axis=1),
+      CAP,
+    )
+    next_starts_c = jnp.where(
+      chain_ok,
+      jnp.concatenate(
+        [starts_c[:, 1:], jnp.full((B, 1), CAP, jnp.int32)], axis=1),
+      CAP,
+    )
+    node_vals = jnp.where(chain_ok, nodes, 0).astype(jnp.int32)
+    rows = (jnp.arange(B, dtype=jnp.int32)[:, None] * (CAP + 1))
+    basea = jnp.zeros((B * (CAP + 1),), jnp.int32)
+    basea = basea.at[(rows + starts_c).reshape(-1)].add(
+      node_vals.reshape(-1), mode='drop')
+    basea = basea.at[(rows + next_starts_c).reshape(-1)].add(
+      -node_vals.reshape(-1), mode='drop')
+    base = jnp.cumsum(basea.reshape(B, CAP + 1)[:, :CAP], axis=1)
+    pos_after = pos_after + base
 
-  pos_after = jnp.cumsum(acc[:, :CAP], axis=1)
   pos_before = pos_after - deltas
 
   # --- paint presence rasters (MXU one-hot matmul) ---
@@ -396,6 +413,56 @@ def decode_slices_full_plant(packed, nbytes, nodes, n_chains, T,
     permissible=permissible,
   )
   cc, N, painted = ccl_pallas.ccl_paint_traced(vcg, T, sx, sy)
+  labels = jax.lax.bitcast_convert_type(painted, jnp.uint32)
+  return labels, cc, N
+
+
+@functools.partial(
+  jax.jit, static_argnames=("sx", "sy", "permissible", "cap_n")
+)
+def decode_slices_full_pins(packed, nbytes, nodes, n_chains,
+                            pin_locs, pin_labs, single_ids,
+                            single_labs, bg32,
+                            sx: int, sy: int, permissible: bool,
+                            cap_n: int = 0):
+  """Fused device decode of condensed-pins streams.
+
+  The per-slice component->label tables are built on device: each pin
+  resolves the component it crosses with one small gather into the
+  CCL image (labels.hpp:554-614 walks the same pin voxels serially),
+  cc-singles index components directly, everything else is bgcolor.
+
+  pin_locs:    (B, P) int32 in-slice flat positions (-1 = pad)
+  pin_labs:    (B, P) int32 label values (uint32 bitcast)
+  single_ids:  (B, S) int32 window-local component ids (-1 = pad)
+  single_labs: (B, S) int32
+  bg32:        scalar int32 background label
+
+  Returns (labels uint32, cc int32, N int32) — device-resident.
+  """
+  from . import ccl_pallas
+  B = packed.shape[0]
+  vcg = decode_slices_to_vcg.__wrapped__(
+    packed, nbytes, nodes, n_chains, sx=sx, sy=sy,
+    permissible=permissible,
+  )
+  cc, N = ccl_pallas.ccl_batch(vcg, sx, sy)
+
+  T = jnp.full((B, cap_n + 1), bg32, jnp.int32)
+  rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+  s_tgt = jnp.where(
+    (single_ids >= 0) & (single_ids < cap_n), single_ids, cap_n)
+  T = T.at[rows, s_tgt].set(single_labs, mode='drop')
+  ccv = jnp.take_along_axis(cc, jnp.clip(pin_locs, 0, None), axis=1)
+  p_tgt = jnp.where(pin_locs >= 0, ccv, cap_n)
+  T = T.at[rows, p_tgt].set(pin_labs, mode='drop')
+
+  if ccl_pallas.use_pallas(sx, sy) and cap_n <= ccl_pallas.PAINT_CAP_N:
+    _, _, painted = ccl_pallas.ccl_paint_traced(
+      vcg, T[:, None, :cap_n], sx, sy)
+  else:
+    painted = jnp.take_along_axis(
+      T, jnp.clip(cc, 0, cap_n), axis=1)
   labels = jax.lax.bitcast_convert_type(painted, jnp.uint32)
   return labels, cc, N
 

@@ -25,11 +25,15 @@ def _next_pow2(x: int) -> int:
 def prepare_slice_inputs(binary: bytes, z_start: int, z_end: int):
   """Parse + pad the crack streams of a z window for device decode.
 
-  Returns dict of padded arrays or None if this stream needs the
-  numpy fallback (markov streams for now)."""
+  Markov streams rank-decode to diff-coded codepoints on the host
+  (the bitstream is serial per slice, like the reference's
+  markov.hpp:268-323) and re-pack to the 2-bit layout the device
+  replay unpacks; everything downstream (scope matching, position
+  replay, VCG paint, CCL, label paint) still runs on the TPU.
+  """
   head = _codec.header(binary)
-  if head.markov_model_order > 0:
-    return None
+  markov = head.markov_model_order > 0
+  model = _codec.decode_markov_model(head, binary) if markov else None
 
   codes = _codec.crack_codes(binary)[z_start:z_end]
   B = len(codes)
@@ -43,7 +47,27 @@ def prepare_slice_inputs(binary: bytes, z_start: int, z_end: int):
       continue
     index_size = 4 + ctoi(code, 0, 4)
     nodes_list.append(_cc.read_boc_index(code, head.sx, head.sy))
-    packed_list.append(code[index_size:])
+    if markov:
+      from ..models import markov as _markov
+      cps = _markov.decode_markov(
+        code[index_size:], model, head.markov_model_order
+      ).astype(np.int64)
+      # re-diff (mod 4) and pack 4 codepoints/byte; zero-pad diffs in
+      # the last byte replicate the final codepoint, which can never
+      # form a branch/terminate reversal pair, so the replay's
+      # validity logic drops them exactly like sub-byte padding in
+      # non-markov streams
+      diffs = cps.copy()
+      diffs[1:] = (cps[1:] - cps[:-1]) & 3
+      pad = (-len(diffs)) % 4
+      if pad:
+        diffs = np.concatenate([diffs, np.zeros(pad, np.int64)])
+      q = diffs.reshape(-1, 4)
+      by = (q[:, 0] | (q[:, 1] << 2) | (q[:, 2] << 4)
+            | (q[:, 3] << 6)).astype(np.uint8)
+      packed_list.append(by.tobytes())
+    else:
+      packed_list.append(code[index_size:])
 
   max_bytes = max((len(p) for p in packed_list), default=0)
   max_chains = max((len(n) for n in nodes_list), default=0)
@@ -113,6 +137,87 @@ def _flat_label_tables(head, binary):
   return uniq, cum, keys
 
 
+def _pack_by_slice(B: int, zi: np.ndarray, cols: list, fills: list):
+  """Group (zi, col...) tuples into per-slice padded (B, CAP) arrays."""
+  order = np.argsort(zi, kind='stable')
+  zi = zi[order]
+  counts = np.bincount(zi, minlength=B)
+  CAP = _next_pow2(max(int(counts.max()) if B else 0, 1))
+  outs = []
+  starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+  within = np.arange(len(zi)) - np.repeat(starts, counts)
+  for col, fill in zip(cols, fills):
+    out = np.full((B, CAP), fill, np.int32)
+    out[zi, within] = col[order]
+    outs.append(out)
+  return outs
+
+
+def _pins_device_tables(head, binary: bytes, z_start: int, z_end: int):
+  """Host parse of a condensed-pins section into per-slice device
+  scatter inputs (labels.hpp:508-617 is the serial equivalent).
+
+  Returns (pin_locs, pin_labs, single_ids, single_labs, bg32, cap_n)
+  or None when stored labels exceed 32 bits."""
+  if head.stored_data_width > 4:
+    return None
+  lb = bytes(_codec.raw_labels(binary))
+  layout = _labels_ops.decode_condensed_pins_layout(head, lb)
+  pins, singles = _labels_ops.decode_condensed_pins(head, lb)
+  cpg = layout["components_per_grid"].astype(np.int64)
+  cum = np.concatenate([[0], np.cumsum(cpg)])
+  B = z_end - z_start
+  sxy = head.sx * head.sy
+
+  # cc singles: global component ids -> (slice, window-local id)
+  ids, labs = [], []
+  for label, ccs in singles.items():
+    if len(ccs):
+      ids.append(np.asarray(ccs, np.int64))
+      labs.append(np.full(len(ccs), np.uint32(label).view(np.int32)))
+  if ids:
+    ids = np.concatenate(ids)
+    labs = np.concatenate(labs)
+    zs = np.searchsorted(cum, ids, side='right') - 1
+    keep = (zs >= z_start) & (zs < z_end)
+    ids, labs, zs = ids[keep], labs[keep], zs[keep]
+    local = (ids - cum[zs]).astype(np.int32)
+    single_ids, single_labs = _pack_by_slice(
+      B, (zs - z_start).astype(np.int64), [local, labs], [-1, 0])
+  else:
+    single_ids = np.full((B, 1), -1, np.int32)
+    single_labs = np.zeros((B, 1), np.int32)
+
+  # pins: (index, depth) -> one (slice, in-slice position) per voxel
+  locs, labs2, zz = [], [], []
+  for label, plist in pins.items():
+    for index, depth in plist:
+      z0 = index // sxy
+      loc = index - z0 * sxy
+      zlo = max(z0, z_start)
+      zhi = min(z0 + depth, z_end - 1)
+      if zhi < zlo:
+        continue
+      n = zhi - zlo + 1
+      zz.append(np.arange(zlo - z_start, zhi - z_start + 1))
+      locs.append(np.full(n, loc, np.int64))
+      labs2.append(np.full(n, np.uint32(label).view(np.int32)))
+  if zz:
+    zz = np.concatenate(zz)
+    locs = np.concatenate(locs).astype(np.int32)
+    labs2 = np.concatenate(labs2)
+    pin_locs, pin_labs = _pack_by_slice(
+      B, zz, [locs, labs2], [-1, 0])
+  else:
+    pin_locs = np.full((B, 1), -1, np.int32)
+    pin_labs = np.zeros((B, 1), np.int32)
+
+  n_per = cpg[z_start:z_end]
+  cap_n = _next_pow2(max(int(n_per.max()) if len(n_per) else 1, 8))
+  bg32 = int(np.uint32(layout["bgcolor"]).view(np.int32))
+  return pin_locs, pin_labs, single_ids, single_labs, bg32, cap_n
+
+
 def decode_window_device(binary: bytes, z_start: int, z_end: int):
   """Fused device decode of a z window: everything stays on device.
 
@@ -121,6 +226,24 @@ def decode_window_device(binary: bytes, z_start: int, z_end: int):
   device code without a host roundtrip) — or None for fallback
   streams."""
   head = _codec.header(binary)
+  if head.label_format == LabelFormat.PINS_VARIABLE_WIDTH:
+    tables = _pins_device_tables(head, binary, z_start, z_end)
+    if tables is None:
+      return None
+    inputs = prepare_slice_inputs(binary, z_start, z_end)
+    if inputs is None:
+      return None
+    pin_locs, pin_labs, single_ids, single_labs, bg32, cap_n = tables
+    permissible = head.crack_format == CrackFormat.PERMISSIBLE
+    labels, cc, N = _dec.decode_slices_full_pins(
+      jnp.asarray(inputs["packed"]), jnp.asarray(inputs["nbytes"]),
+      jnp.asarray(inputs["nodes"]), jnp.asarray(inputs["n_chains"]),
+      jnp.asarray(pin_locs), jnp.asarray(pin_labs),
+      jnp.asarray(single_ids), jnp.asarray(single_labs),
+      jnp.int32(bg32),
+      sx=head.sx, sy=head.sy, permissible=permissible, cap_n=cap_n,
+    )
+    return labels, cc, N, head
   if head.label_format != LabelFormat.FLAT:
     return None
   inputs = prepare_slice_inputs(binary, z_start, z_end)
@@ -169,8 +292,32 @@ def decode_window(binary: bytes, z_start: int, z_end: int,
   """Full device decode of a z window. Returns the (sx, sy, szr)
   volume or None if the stream needs the numpy fallback."""
   head = _codec.header(binary)
+  if head.label_format == LabelFormat.PINS_VARIABLE_WIDTH:
+    if label is not None:
+      return None  # single-label pins queries stay on the host path
+    res = decode_window_device(binary, z_start, z_end)
+    if res is None:
+      return None
+    labels_dev, cc_dev, _N, _ = res
+    out = np.asarray(labels_dev).astype(head.dtype, copy=False)
+    if check_crcs and head.format_version > 0:
+      stored = _codec.crack_crcs(binary)
+      cc = np.asarray(cc_dev)
+      for i, z in enumerate(range(z_start, z_end)):
+        computed = crc32c(np.ascontiguousarray(cc[i].astype('<u4')))
+        if computed != int(stored[z]):
+          from ..headers import FormatError
+          raise FormatError(
+            f"crackle: crack code crc mismatch on z={z} "
+            f"computed: {computed} stored: {int(stored[z])}"
+          )
+    vol = out.reshape(z_end - z_start, head.sy, head.sx) \
+      .transpose(2, 1, 0)
+    if head.fortran_order:
+      return np.asfortranarray(vol)
+    return np.ascontiguousarray(vol)
   if head.label_format != LabelFormat.FLAT:
-    return None  # pins label painting is host-side for now
+    return None
 
   B = z_end - z_start
   uniq, cum, keys = _flat_label_tables(head, binary)

@@ -77,3 +77,49 @@ def test_jax_decode_crc_detects_corruption():
   binary[int(gi[0]) + 6] ^= 0xFF
   with pytest.raises(crackle.FormatError):
     engine.decode_window(bytes(binary), 0, 4)
+
+
+@pytest.mark.parametrize("order", [1, 3, 5])
+def test_jax_decode_markov_stream(order):
+  """Markov streams rank-decode on the host but replay on device."""
+  vol = random_volume((24, 20, 5), 6, 21 + order, 5)
+  binary = crackle.compress(vol, markov_model_order=order)
+  assert crackle.header(binary).markov_model_order == order
+  out = engine.decode_window(binary, 0, 5)
+  assert out is not None
+  np.testing.assert_array_equal(out, vol)
+
+
+def blocky_volume(shape, block, num_labels, seed, dtype=np.uint32):
+  """Large contiguous blobs: forces pixel_pairs >= voxels/2 so the
+  encoder picks IMPERMISSIBLE + condensed pins when allowed."""
+  rng = np.random.RandomState(seed)
+  sx, sy, sz = shape
+  bx, by, bz = -(-sx // block), -(-sy // block), -(-sz // block)
+  coarse = rng.randint(0, num_labels, size=(bx, by, bz)).astype(dtype)
+  vol = coarse.repeat(block, 0).repeat(block, 1).repeat(block, 2)
+  return np.asfortranarray(vol[:sx, :sy, :sz])
+
+
+@pytest.mark.parametrize("optimize", [1, 2])
+def test_jax_decode_pins_stream(optimize):
+  """Condensed-pins label painting runs on device (gather + table)."""
+  from crackle_tpu.headers import LabelFormat
+  vol = blocky_volume((20, 18, 6), 4, 5, 31 + optimize)
+  binary = crackle.compress(vol, allow_pins=optimize)
+  assert (crackle.header(binary).label_format
+          == LabelFormat.PINS_VARIABLE_WIDTH)
+  out = engine.decode_window(binary, 0, 6)
+  assert out is not None
+  np.testing.assert_array_equal(out, vol)
+
+
+def test_jax_decode_pins_markov_window():
+  from crackle_tpu.headers import LabelFormat
+  vol = blocky_volume((16, 16, 8), 4, 4, 77)
+  binary = crackle.compress(vol, allow_pins=1, markov_model_order=2)
+  assert (crackle.header(binary).label_format
+          == LabelFormat.PINS_VARIABLE_WIDTH)
+  out = engine.decode_window(binary, 2, 7)
+  assert out is not None
+  np.testing.assert_array_equal(out, vol[:, :, 2:7])
