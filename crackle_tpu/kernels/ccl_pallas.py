@@ -161,25 +161,26 @@ def _ccl_core(vcg_ref, cc_ref, *, sx, sy):
 
 
 def _ccl_paint_kernel(vcg_ref, t_ref, cc_ref, painted_ref, *, sx, sy,
-                      cap_n):
+                      cap_n, channels):
   """CCL + in-kernel label paint: the propagated rank image cc_ref is
   a dense component id per pixel, so painting is a bounded table loop
   over it (painted = t[cc] without a gather) — no extra propagation
-  pass."""
+  pass. channels=2 paints u64 labels as (lo32, hi32) planes."""
   is_root, rank, sweep, cond, R = _ccl_core(
     vcg_ref, cc_ref, sx=sx, sy=sy
   )
 
   n_comp = jnp.max(jnp.where(is_root, rank, jnp.zeros_like(rank))) + 1
+  bound = jnp.minimum(n_comp, cap_n)
 
-  def plant_body(k, acc):
-    tk = t_ref[0, 0, k]
-    return jnp.where(R == k, jnp.full_like(acc, tk), acc)
+  for ch in range(channels):
+    def plant_body(k, acc, ch=ch):
+      tk = t_ref[0, ch, k]
+      return jnp.where(R == k, jnp.full_like(acc, tk), acc)
 
-  painted_ref[0] = jax.lax.fori_loop(
-    0, jnp.minimum(n_comp, cap_n), plant_body,
-    jnp.zeros((sy, sx), jnp.int32),
-  )
+    painted_ref[0, ch] = jax.lax.fori_loop(
+      0, bound, plant_body, jnp.zeros((sy, sx), jnp.int32),
+    )
 
 
 def ccl_batch_traced(vcg, sx: int, sy: int):
@@ -201,6 +202,7 @@ def ccl_batch_traced(vcg, sx: int, sy: int):
       out_specs=pl.BlockSpec((1, sy, sx), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
       out_shape=jax.ShapeDtypeStruct((B, sy, sx), jnp.int32),
+      interpret=INTERPRET,
     )(v2)
   cc = cc.reshape(B, sy * sx)
   # ranks are dense 0..N-1 per slice
@@ -213,15 +215,16 @@ ccl_batch_pallas = jax.jit(ccl_batch_traced,
 
 
 def ccl_paint_traced(vcg, T, sx: int, sy: int):
-  """CCL + in-kernel paint. T: (B, 1, CAP_N) int32 painted-value
-  table per slice (bitcast of uint32 labels). Returns (cc, N,
-  painted int32)."""
+  """CCL + in-kernel paint. T: (B, K, CAP_N) int32 painted-value
+  table per slice (K=1: bitcast of uint32 labels; K=2: lo/hi planes
+  of uint64 labels). Returns (cc, N, painted (B, K, sy*sx) int32)."""
   B = vcg.shape[0]
+  K = T.shape[1]
   cap_n = T.shape[2]
   v2 = vcg.reshape(B, sy, sx)
 
   kernel = functools.partial(_ccl_paint_kernel, sx=sx, sy=sy,
-                             cap_n=cap_n)
+                             cap_n=cap_n, channels=K)
   with jax.enable_x64(False):
     cc, painted = pl.pallas_call(
       kernel,
@@ -229,23 +232,24 @@ def ccl_paint_traced(vcg, T, sx: int, sy: int):
       in_specs=[
         pl.BlockSpec((1, sy, sx), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, cap_n), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, K, cap_n), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
       ],
       out_specs=[
         pl.BlockSpec((1, sy, sx), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, sy, sx), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, K, sy, sx), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
       ],
       out_shape=[
         jax.ShapeDtypeStruct((B, sy, sx), jnp.int32),
-        jax.ShapeDtypeStruct((B, sy, sx), jnp.int32),
+        jax.ShapeDtypeStruct((B, K, sy, sx), jnp.int32),
       ],
+      interpret=INTERPRET,
     )(v2, T)
   cc = cc.reshape(B, sy * sx)
   N = (jnp.max(cc, axis=1) + 1).astype(jnp.int32)
-  return cc, N, painted.reshape(B, sy * sx)
+  return cc, N, painted.reshape(B, K, sy * sx)
 
 
 # paint-table loop stays cheap only for moderate component counts
@@ -260,11 +264,15 @@ def _vmem_ok(sx: int, sy: int) -> bool:
 import os as _os
 
 _NO_PALLAS = _os.environ.get("CRACKLE_TPU_NO_PALLAS", "") == "1"
+# interpret mode runs the kernels through the Pallas interpreter so
+# the TPU code paths are testable on CPU (slow; tests only)
+INTERPRET = _os.environ.get("CRACKLE_TPU_PALLAS_INTERPRET", "") == "1"
 
 
 def use_pallas(sx: int, sy: int) -> bool:
-  return (not _NO_PALLAS and _vmem_ok(sx, sy)
-          and jax.default_backend() == "tpu")
+  if _NO_PALLAS or not _vmem_ok(sx, sy):
+    return False
+  return INTERPRET or jax.default_backend() == "tpu"
 
 
 def ccl_batch(vcg, sx: int, sy: int):

@@ -404,8 +404,9 @@ def decode_slices_full_plant(packed, nbytes, nodes, n_chains, T,
                              sx: int, sy: int, permissible: bool):
   """Fused decode with the in-kernel plant-paint (Pallas) path.
 
-  T: (B, 1, CAP_N) int32 per-slice painted-value tables.
-  Returns (labels uint32, cc int32, N int32) — all device-resident.
+  T: (B, K, CAP_N) int32 per-slice painted-value tables; K=1 paints
+  uint32 labels, K=2 paints uint64 labels as (lo32, hi32) planes.
+  Returns (labels uint32/uint64, cc int32, N int32) — device-resident.
   """
   from . import ccl_pallas
   vcg = decode_slices_to_vcg.__wrapped__(
@@ -413,7 +414,14 @@ def decode_slices_full_plant(packed, nbytes, nodes, n_chains, T,
     permissible=permissible,
   )
   cc, N, painted = ccl_pallas.ccl_paint_traced(vcg, T, sx, sy)
-  labels = jax.lax.bitcast_convert_type(painted, jnp.uint32)
+  if T.shape[1] == 2:
+    lo = jax.lax.bitcast_convert_type(
+      painted[:, 0], jnp.uint32).astype(jnp.uint64)
+    hi = jax.lax.bitcast_convert_type(
+      painted[:, 1], jnp.uint32).astype(jnp.uint64)
+    labels = lo | (hi << 32)
+  else:
+    labels = jax.lax.bitcast_convert_type(painted[:, 0], jnp.uint32)
   return labels, cc, N
 
 
@@ -460,6 +468,7 @@ def decode_slices_full_pins(packed, nbytes, nodes, n_chains,
   if ccl_pallas.use_pallas(sx, sy) and cap_n <= ccl_pallas.PAINT_CAP_N:
     _, _, painted = ccl_pallas.ccl_paint_traced(
       vcg, T[:, None, :cap_n], sx, sy)
+    painted = painted[:, 0]
   else:
     painted = jnp.take_along_axis(
       T, jnp.clip(cc, 0, cap_n), axis=1)

@@ -250,8 +250,7 @@ def decode_window_device(binary: bytes, z_start: int, z_end: int):
   if inputs is None:
     return None
   uniq, cum, keys = _flat_label_tables(head, binary)
-  if uniq.dtype.itemsize > 4:
-    return None  # u64 labels: painted on host via decode_window
+  wide = uniq.dtype.itemsize > 4
   permissible = head.crack_format == CrackFormat.PERMISSIBLE
 
   from . import ccl_pallas
@@ -260,20 +259,27 @@ def decode_window_device(binary: bytes, z_start: int, z_end: int):
   cap_n = _next_pow2(max(max_n, 8))
   if (ccl_pallas.use_pallas(head.sx, head.sy)
       and cap_n <= ccl_pallas.PAINT_CAP_N):
-    # in-kernel plant paint: build per-slice painted-value tables
-    t_flat = uniq.astype(np.uint32).view(np.int32)[
-      keys.astype(np.int64)
-    ]
-    t_pad = np.concatenate([t_flat, np.zeros(cap_n, np.int32)])
-    idx = cum[z_start:z_end, None] + np.arange(cap_n)[None, :]
-    T = t_pad[idx.astype(np.int64)].astype(np.int32)
+    # in-kernel plant paint: build per-slice painted-value tables;
+    # u64 labels paint as two int32 planes
+    t64 = uniq.astype(np.uint64)[keys.astype(np.int64)]
+    idx = (cum[z_start:z_end, None]
+           + np.arange(cap_n)[None, :]).astype(np.int64)
+    planes = [(t64 & 0xffffffff).astype(np.uint32).view(np.int32)]
+    if wide:
+      planes.append((t64 >> 32).astype(np.uint32).view(np.int32))
+    T = np.stack([
+      np.concatenate([p, np.zeros(cap_n, np.int32)])[idx]
+      for p in planes
+    ], axis=1)  # (B, K, cap_n)
     labels, cc, N = _dec.decode_slices_full_plant(
       jnp.asarray(inputs["packed"]), jnp.asarray(inputs["nbytes"]),
       jnp.asarray(inputs["nodes"]), jnp.asarray(inputs["n_chains"]),
-      jnp.asarray(T[:, None, :]),
+      jnp.asarray(T),
       sx=head.sx, sy=head.sy, permissible=permissible,
     )
     return labels, cc, N, head
+  if wide:
+    return None  # u64 labels without the plant kernel: host paint
 
   labels, cc, N = _dec.decode_slices_full(
     jnp.asarray(inputs["packed"]), jnp.asarray(inputs["nbytes"]),
@@ -322,15 +328,15 @@ def decode_window(binary: bytes, z_start: int, z_end: int,
   B = z_end - z_start
   uniq, cum, keys = _flat_label_tables(head, binary)
 
-  fused = label is None and uniq.dtype.itemsize <= 4
-  if fused:
-    res = decode_window_device(binary, z_start, z_end)
-    if res is None:
-      return None
+  res = decode_window_device(binary, z_start, z_end) \
+    if label is None else None
+  if res is not None:
     labels_dev, cc_dev, N_dev, _ = res
     out = np.asarray(labels_dev).astype(head.dtype, copy=False)
     cc = np.asarray(cc_dev) if check_crcs else None
   else:
+    if label is None and uniq.dtype.itemsize > 4:
+      return None  # host numpy paint is faster than a device gather
     res = decode_window_ccl(binary, z_start, z_end, check_crcs=False)
     if res is None:
       return None

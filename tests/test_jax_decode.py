@@ -123,3 +123,27 @@ def test_jax_decode_pins_markov_window():
   out = engine.decode_window(binary, 2, 7)
   assert out is not None
   np.testing.assert_array_equal(out, vol[:, :, 2:7])
+
+
+def test_jax_decode_u64_plant_interpret(monkeypatch):
+  """u64 labels paint as two int32 planes in the plant kernel; the
+  Pallas interpreter stands in for the TPU on CPU."""
+  from crackle_tpu.kernels import ccl_pallas
+  monkeypatch.setattr(ccl_pallas, "INTERPRET", True)
+  vol = random_volume((16, 12, 3), 5, 91, 4).astype(np.uint64)
+  vol = np.asfortranarray(vol + np.uint64(0x1_0000_0000))
+  binary = crackle.compress(vol)
+  out = engine.decode_window(binary, 0, 3)
+  assert out is not None
+  assert out.dtype == np.uint64
+  np.testing.assert_array_equal(out, vol)
+
+
+def test_jax_decode_u32_plant_interpret(monkeypatch):
+  from crackle_tpu.kernels import ccl_pallas
+  monkeypatch.setattr(ccl_pallas, "INTERPRET", True)
+  vol = random_volume((16, 16, 4), 6, 95, 5)
+  binary = crackle.compress(vol)
+  out = engine.decode_window(binary, 0, 4)
+  assert out is not None
+  np.testing.assert_array_equal(out, vol)
