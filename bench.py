@@ -91,7 +91,11 @@ def main():
         f"{voxels / enc_dt / 1e6:.1f} MVx/s "
         f"ratio {len(enc) / vol.nbytes:.4%}", file=sys.stderr)
 
-  # primary: decode to device memory
+  # primary: decode-to-device throughput. Steady state: windows are
+  # dispatched back to back (host parse and h2d of window i+1 overlap
+  # device compute of window i, as in a streaming consumer) and the
+  # device is drained once at the end. Single-window latency is
+  # reported to stderr.
   res = engine.decode_window_device(binary, 0, sz)
   if res is None:
     print(json.dumps({
@@ -103,20 +107,34 @@ def main():
   np.asarray(jnp.max(labels))  # force
 
   times = []
-  for _ in range(5):
+  for _ in range(3):
     t0 = time.perf_counter()
     labels, cc, N, _ = engine.decode_window_device(binary, 0, sz)
     np.asarray(jnp.max(labels))
     times.append(time.perf_counter() - t0)
-  best = min(times)
+  lat = min(times)
+
+  N_ITERS = 8
+  best = None
+  for _ in range(3):
+    t0 = time.perf_counter()
+    outs = []
+    for _i in range(N_ITERS):
+      labels, cc, N, _ = engine.decode_window_device(binary, 0, sz)
+      outs.append(jnp.max(labels))
+    np.asarray(jnp.stack(outs).max())
+    dt = (time.perf_counter() - t0) / N_ITERS
+    best = dt if best is None else min(best, dt)
   mvx_dev = voxels / best / 1e6
+  print(f"decode-to-device latency: {lat * 1e3:.1f} ms "
+        f"({voxels / lat / 1e6:.1f} MVx/s)", file=sys.stderr)
 
   # correctness (decode-to-host path, includes crc checks)
   t0 = time.perf_counter()
   out = engine.decode_window(binary, 0, sz)
   host_dt = time.perf_counter() - t0
   correct = np.array_equal(out, vol)
-  print(f"decode-to-device: best {best * 1e3:.1f} ms "
+  print(f"decode-to-device steady-state: {best * 1e3:.1f} ms/window "
         f"{mvx_dev:.1f} MVx/s ({mvx_dev * 4 / 1e3:.2f} GB/s out)",
         file=sys.stderr)
   print(f"decode-to-host (with crc): {host_dt * 1e3:.0f} ms "
