@@ -392,7 +392,15 @@ def decode_slices_to_ccl(packed, nbytes, nodes, n_chains,
 )
 def decode_slices_to_vcg(packed, nbytes, nodes, n_chains,
                          sx: int, sy: int, permissible: bool):
-  """Batched slice decode to voxel connectivity graphs (B, sy*sx)."""
+  """Batched slice decode to voxel connectivity graphs (B, sy*sx).
+
+  Dispatches to the fused Pallas replay (kernels/replay_pallas.py)
+  when the shapes are eligible, else the XLA pipeline below."""
+  from . import replay_pallas
+  CAP = packed.shape[1] * 4
+  if replay_pallas.use_replay(CAP, nodes.shape[1], sx, sy):
+    return replay_pallas.replay_vcg_traced(
+      packed, nbytes, nodes, n_chains, sx, sy, permissible)
   return _decode_vcg_batch(packed, nbytes, nodes, n_chains, sx, sy,
                            permissible)
 
