@@ -605,13 +605,29 @@ def decompress(binary: bytes, label: Optional[int] = None,
 # ---------------------------------------------------------------------------
 
 def _encode_boundaries(labels_f: np.ndarray, sx: int, sy: int, sz: int,
-                       permissible: bool):
+                       permissible: bool, parallel: int = 0):
+  """Per-slice crack tracing, thread-pooled over z like the
+  reference's encode_boundaries (crackcodes.hpp:498-521): the native
+  tracer releases the GIL, so slices run concurrently."""
   sxy = sx * sy
-  return [
-    _cc.create_crack_codes(labels_f[z * sxy:(z + 1) * sxy], sx, sy,
-                           permissible)
-    for z in range(sz)
-  ]
+
+  def one(z):
+    return _cc.create_crack_codes(labels_f[z * sxy:(z + 1) * sxy],
+                                  sx, sy, permissible)
+
+  n_threads = _pool_size(parallel, sz)
+  if n_threads <= 1 or sz <= 1:
+    return [one(z) for z in range(sz)]
+  from concurrent.futures import ThreadPoolExecutor
+  with ThreadPoolExecutor(n_threads) as pool:
+    return list(pool.map(one, range(sz)))
+
+
+def _pool_size(parallel: int, n_items: int) -> int:
+  """parallel=0 means all cores (crackle.hpp:66-69 parity)."""
+  import os as _os
+  n = parallel if parallel > 0 else (_os.cpu_count() or 1)
+  return max(1, min(n, n_items))
 
 
 def compress(labels: np.ndarray, allow_pins: int = 0,
@@ -674,7 +690,8 @@ def compress(labels: np.ndarray, allow_pins: int = 0,
     return head.tobytes()
 
   permissible = crack_format == CrackFormat.PERMISSIBLE
-  chains_per_z = _encode_boundaries(flat, sx, sy, sz, permissible)
+  chains_per_z = _encode_boundaries(flat, sx, sy, sz, permissible,
+                                    parallel)
 
   if head.markov_model_order > 0:
     if all(len(c) == 0 for c in chains_per_z):
@@ -709,7 +726,7 @@ def compress(labels: np.ndarray, allow_pins: int = 0,
     )
   else:
     labels_binary, crack_crcs_arr = _labels_ops.encode_flat(
-      flat, sx, sy, sz, stored_dtype
+      flat, sx, sy, sz, stored_dtype, parallel=parallel
     )
 
   head.num_label_bytes = len(labels_binary)

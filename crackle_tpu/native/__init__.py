@@ -83,7 +83,11 @@ def _ptr(arr: np.ndarray):
   return arr.ctypes.data_as(ctypes.c_void_p)
 
 
-_trace_scratch = {}
+# per-thread: encode slices run on a thread pool, and concurrent
+# traces must not share buffers
+import threading as _threading
+
+_trace_scratch_tls = _threading.local()
 
 
 def trace_slice(labels_flat: np.ndarray, sx: int, sy: int,
@@ -101,9 +105,12 @@ def trace_slice(labels_flat: np.ndarray, sx: int, sy: int,
   max_chains = sx * sy + 8
 
   # scratch buffers are reused across slices (the C side initializes
-  # what it reads)
+  # what it reads); one set per thread
+  scratch = getattr(_trace_scratch_tls, 'bufs', None)
+  if scratch is None:
+    scratch = _trace_scratch_tls.bufs = {}
   key = (sx, sy)
-  bufs = _trace_scratch.get(key)
+  bufs = scratch.get(key)
   if bufs is None:
     bufs = (
       np.zeros(n_corners, np.uint8),
@@ -112,7 +119,7 @@ def trace_slice(labels_flat: np.ndarray, sx: int, sy: int,
       np.zeros(max_chains, np.int64),
       np.zeros(max_chains, np.int64),
     )
-    _trace_scratch[key] = bufs
+    scratch[key] = bufs
   adj, symbols, cps, nodes, cp_lens = bufs
 
   n_chains = lib.crackle_trace_slice(

@@ -22,21 +22,24 @@ from .ccl import connected_components_slice
 
 
 def encode_flat(labels: np.ndarray, sx: int, sy: int, sz: int,
-                stored_dtype) -> Tuple[bytes, np.ndarray]:
+                stored_dtype, parallel: int = 0
+                ) -> Tuple[bytes, np.ndarray]:
   """FLAT label encode (labels.hpp:30-155 parity).
 
-  labels: flat volume in x-fastest order.
+  labels: flat volume in x-fastest order. Slices run on a thread pool
+  like the reference (labels.hpp:51-88); the native CCL and crc32c
+  release the GIL.
   Returns (labels binary, per-slice crack crc32cs of the slice-local
   uint32 CCL images).
   """
   sxy = sx * sy
   stored_dtype = np.dtype(stored_dtype)
 
-  per_slice_mapping: List[np.ndarray] = []
+  per_slice_mapping: List[np.ndarray] = [None] * sz
   num_per_slice = np.zeros(sz, dtype=np.uint64)
   crcs = np.zeros(sz, dtype=np.uint32)
 
-  for z in range(sz):
+  def one(z):
     sl = labels[z * sxy:(z + 1) * sxy]
     cc, n = connected_components_slice(sl, sx, sy)
     # label of each component = source label at its first-visit voxel;
@@ -47,11 +50,22 @@ def encode_flat(labels: np.ndarray, sx: int, sy: int, sz: int,
       cci = cc.astype(np.int64)
       runmax = np.maximum.accumulate(np.concatenate([[-1], cci[:-1]]))
       first_idx = np.flatnonzero(cci > runmax)
-      per_slice_mapping.append(sl[first_idx])
+      per_slice_mapping[z] = sl[first_idx]
     else:
-      per_slice_mapping.append(sl[:0])
+      per_slice_mapping[z] = sl[:0]
     num_per_slice[z] = n
     crcs[z] = crc32c(np.ascontiguousarray(cc, dtype='<u4'))
+
+  import os as _os
+  n_threads = max(1, min(
+    parallel if parallel > 0 else (_os.cpu_count() or 1), sz))
+  if n_threads <= 1 or sz <= 1:
+    for z in range(sz):
+      one(z)
+  else:
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(n_threads) as pool:
+      list(pool.map(one, range(sz)))
 
   if sz:
     mapping = np.concatenate(per_slice_mapping)
