@@ -165,22 +165,44 @@ def _ccl_paint_kernel(vcg_ref, t_ref, cc_ref, painted_ref, *, sx, sy,
   """CCL + in-kernel label paint: the propagated rank image cc_ref is
   a dense component id per pixel, so painting is a bounded table loop
   over it (painted = t[cc] without a gather) — no extra propagation
-  pass. channels=2 paints u64 labels as (lo32, hi32) planes."""
+  pass. channels=2 paints u64 labels as (lo32, hi32) planes.
+
+  Ranks are first-visit (raster) ordered, so the ranks present in a
+  horizontal stripe form a small contiguous window [rmin, rmax]: the
+  select loop runs per stripe over only that window (components span
+  a fraction of the slice height), and 4 table entries per iteration
+  amortize the loop-carry overhead."""
   is_root, rank, sweep, cond, R = _ccl_core(
     vcg_ref, cc_ref, sx=sx, sy=sy
   )
 
-  n_comp = jnp.max(jnp.where(is_root, rank, jnp.zeros_like(rank))) + 1
-  bound = jnp.minimum(n_comp, cap_n)
+  BLK = 64
+  UNROLL = 4
+  for y0 in range(0, sy, BLK):
+    y1 = min(y0 + BLK, sy)
+    Rb = R[y0:y1]
+    rmin = jnp.maximum(jnp.min(Rb), 0)
+    rmax = jnp.minimum(jnp.max(Rb), cap_n - 1)
+    n_iter = (rmax - rmin) // UNROLL + 1
 
-  for ch in range(channels):
-    def plant_body(k, acc, ch=ch):
-      tk = t_ref[0, ch, k]
-      return jnp.where(R == k, jnp.full_like(acc, tk), acc)
+    def plant_body(i, accs, Rb=Rb, rmin=rmin):
+      k0 = rmin + i * UNROLL
+      for u in range(UNROLL):
+        k = jnp.minimum(k0 + u, cap_n - 1)
+        eq = Rb == k
+        accs = tuple(
+          jnp.where(eq, jnp.full_like(a, t_ref[0, ch, k]), a)
+          for ch, a in enumerate(accs)
+        )
+      return accs
 
-    painted_ref[0, ch] = jax.lax.fori_loop(
-      0, bound, plant_body, jnp.zeros((sy, sx), jnp.int32),
+    accs = jax.lax.fori_loop(
+      0, n_iter, plant_body,
+      tuple(jnp.zeros((y1 - y0, sx), jnp.int32)
+            for _ in range(channels)),
     )
+    for ch in range(channels):
+      painted_ref[0, ch, y0:y1, :] = accs[ch]
 
 
 def ccl_batch_traced(vcg, sx: int, sy: int):

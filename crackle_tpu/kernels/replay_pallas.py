@@ -185,7 +185,7 @@ def _classify(diffs, n_cps, n_chains):
 # P1: sort keys
 # ---------------------------------------------------------------------------
 
-def _keys_kernel(diffs_ref, meta_ref, keys_ref, *, CAP):
+def _keys_kernel(diffs_ref, meta_ref, keys_ref, cls_ref, *, CAP):
   st = _classify(
     diffs_ref[0].astype(jnp.int32),
     meta_ref[0, 0, 0] * 4, meta_ref[0, 0, 1],
@@ -197,6 +197,10 @@ def _keys_kernel(diffs_ref, meta_ref, keys_ref, *, CAP):
   keys = (((depth_evt * CAP + st["pos"]) << 3)
           | (close << 2) | st["cps"])
   keys_ref[0] = jnp.where(active > 0, keys, _I32MAX)
+  # pass the classification to the replay kernel so it does not redo
+  # the scan chain: cps (2b) | is_move*valid (1b) | chain_of (rest)
+  cls_ref[0] = (st["cps"] | ((st["is_move"] * st["valid"]) << 2)
+                | (st["chain_of"] << 3))
 
 
 # ---------------------------------------------------------------------------
@@ -227,18 +231,17 @@ def _bf16_onehot(row_1c, iota_rc):
     .astype(jnp.bfloat16)
 
 
-def _replay_kernel(diffs_ref, meta_ref, nodes_ref, skeys_ref,
+def _replay_kernel(cls_ref, meta_ref, nodes_ref, skeys_ref,
                    vh_ref, acc_scr, io_scr, *,
                    CAP, CAP_CH, sx, sy, HI, LO):
   C = LANES
   R = CAP // C
   sxe = sx + 1
   n_chains = meta_ref[0, 0, 1]
-  st = _classify(
-    diffs_ref[0].astype(jnp.int32), meta_ref[0, 0, 0] * 4, n_chains,
-  )
-  cps = st["cps"]
-  mv = st["is_move"] * st["valid"]
+  clsv = cls_ref[0]
+  cps = clsv & 3
+  mv = (clsv >> 2) & 1
+  chain_of = clsv >> 3
 
   # --- sorted space: next close at same depth ---
   skeys = skeys_ref[0]
@@ -313,7 +316,7 @@ def _replay_kernel(diffs_ref, meta_ref, nodes_ref, skeys_ref,
   # chain-start bases: tiny table in SMEM, bounded select loop
   def base_body(k, b):
     nk = nodes_ref[0, 0, k]
-    return jnp.where(st["chain_of"] == k, jnp.full_like(b, nk), b)
+    return jnp.where(chain_of == k, jnp.full_like(b, nk), b)
 
   base = jax.lax.fori_loop(
     0, jnp.minimum(n_chains, CAP_CH), base_body,
@@ -409,7 +412,7 @@ def replay_vcg_traced(packed, nbytes, nodes, n_chains, sx, sy,
   nodes_ = nodes.astype(jnp.int32)[:, None, :]  # (B, 1, CAP_CH)
 
   with jax.enable_x64(False):
-    keys = pl.pallas_call(
+    keys, cls = pl.pallas_call(
       functools.partial(_keys_kernel, CAP=CAP),
       grid=(B,),
       in_specs=[
@@ -418,9 +421,16 @@ def replay_vcg_traced(packed, nbytes, nodes, n_chains, sx, sy,
         pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
       ],
-      out_specs=pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-      out_shape=jax.ShapeDtypeStruct((B, R, LANES), jnp.int32),
+      out_specs=[
+        pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+      ],
+      out_shape=[
+        jax.ShapeDtypeStruct((B, R, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((B, R, LANES), jnp.int32),
+      ],
       interpret=INTERPRET,
     )(diffs, meta)
 
@@ -453,7 +463,7 @@ def replay_vcg_traced(packed, nbytes, nodes, n_chains, sx, sy,
         pltpu.VMEM((4, R, LANES), jnp.int32),
       ],
       interpret=INTERPRET,
-    )(diffs, meta, nodes_, skeys)
+    )(cls, meta, nodes_, skeys)
 
   VH = vh.reshape(B, HI * LO)[:, :OOB].astype(jnp.uint8)
   V2 = VH[:, :NV].reshape(B, sy, sx + 1)

@@ -147,3 +147,31 @@ def test_jax_decode_u32_plant_interpret(monkeypatch):
   out = engine.decode_window(binary, 0, 4)
   assert out is not None
   np.testing.assert_array_equal(out, vol)
+
+
+@pytest.mark.parametrize("smooth", [0, 6])
+def test_jax_decode_replay_kernel_interpret(monkeypatch, smooth):
+  """The fused Pallas replay kernels (P1 keys / P2 replay+paint) must
+  match the XLA replay bit-for-bit; the volume is sized so CAP lands
+  in the replay-eligible range (>= 256 codepoints)."""
+  from crackle_tpu.kernels import ccl_pallas, replay_pallas, decode
+  import jax.numpy as jnp
+  monkeypatch.setattr(ccl_pallas, "INTERPRET", True)
+  vol = random_volume((64, 48, 3), 14, 123, smooth)
+  binary = crackle.compress(vol)
+  inputs = engine.prepare_slice_inputs(binary, 0, 3)
+  head = inputs["head"]
+  CAP = inputs["packed"].shape[1] * 4
+  assert replay_pallas.eligible(
+    CAP, inputs["nodes"].shape[1], head.sx, head.sy)
+  from crackle_tpu.headers import CrackFormat
+  permissible = head.crack_format == CrackFormat.PERMISSIBLE
+  args = (jnp.asarray(inputs["packed"]), jnp.asarray(inputs["nbytes"]),
+          jnp.asarray(inputs["nodes"]), jnp.asarray(inputs["n_chains"]))
+  vcg_pallas = np.asarray(replay_pallas.replay_vcg_traced(
+    *args, head.sx, head.sy, permissible))
+  vcg_xla = np.asarray(decode._decode_vcg_batch(
+    *args, head.sx, head.sy, permissible))
+  np.testing.assert_array_equal(vcg_pallas, vcg_xla)
+  out = engine.decode_window(binary, 0, 3)
+  np.testing.assert_array_equal(out, vol)
