@@ -292,6 +292,85 @@ def decode_window_device(binary: bytes, z_start: int, z_end: int):
   return labels, cc, N, head
 
 
+class DeviceStream:
+  """A compressed crackle stream resident in device HBM.
+
+  The TPU-native serving path for the in-memory-compressed-array use
+  case (the reference keeps the compressed binary in host RAM and
+  decodes cutouts on demand — array.py:32-341; CrackleRemoteArray
+  array.py:342-448 is the ranged-read analog): upload the parsed
+  sections once (~the compressed size, typically 1-3% of raw), then
+  every window decode runs entirely from HBM with no host transfer.
+
+  Only flat-label streams eligible for the plant-paint kernel are
+  accepted (upload_stream returns None otherwise; callers fall back
+  to the per-window h2d path)."""
+
+  def __init__(self, head, packed, nbytes, nodes, n_chains, T,
+               permissible: bool):
+    self.head = head
+    self.packed = packed
+    self.nbytes = nbytes
+    self.nodes = nodes
+    self.n_chains = n_chains
+    self.T = T
+    self.permissible = permissible
+
+  @property
+  def nbytes_device(self) -> int:
+    return sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in
+               (self.packed, self.nbytes, self.nodes, self.n_chains,
+                self.T))
+
+  def decode_window(self, z_start: int, z_end: int):
+    """Decode [z_start, z_end) from HBM. Returns (labels, cc, N) —
+    all device-resident, no host round trip."""
+    labels, cc, N = _dec.decode_slices_full_plant(
+      self.packed[z_start:z_end], self.nbytes[z_start:z_end],
+      self.nodes[z_start:z_end], self.n_chains[z_start:z_end],
+      self.T[z_start:z_end],
+      sx=self.head.sx, sy=self.head.sy, permissible=self.permissible,
+    )
+    return labels, cc, N
+
+
+def upload_stream(binary: bytes) -> Optional[DeviceStream]:
+  """Parse a crackle stream and park it in HBM as a DeviceStream.
+  Returns None when the stream needs a fallback decode path."""
+  head = _codec.header(binary)
+  if head.label_format != LabelFormat.FLAT:
+    return None
+  from . import ccl_pallas
+  inputs = prepare_slice_inputs(binary, 0, head.sz)
+  if inputs is None:
+    return None
+  uniq, cum, keys = _flat_label_tables(head, binary)
+  n_per_slice = cum[1:head.sz + 1] - cum[0:head.sz]
+  max_n = int(n_per_slice.max()) if len(n_per_slice) else 1
+  cap_n = _next_pow2(max(max_n, 8))
+  if not (ccl_pallas.use_pallas(head.sx, head.sy)
+          and cap_n <= ccl_pallas.PAINT_CAP_N):
+    return None
+  wide = uniq.dtype.itemsize > 4
+  t64 = uniq.astype(np.uint64)[keys.astype(np.int64)]
+  idx = (cum[0:head.sz, None]
+         + np.arange(cap_n)[None, :]).astype(np.int64)
+  planes = [(t64 & 0xffffffff).astype(np.uint32).view(np.int32)]
+  if wide:
+    planes.append((t64 >> 32).astype(np.uint32).view(np.int32))
+  T = np.stack([
+    np.concatenate([p, np.zeros(cap_n, np.int32)])[idx]
+    for p in planes
+  ], axis=1)  # (sz, K, cap_n)
+  return DeviceStream(
+    head,
+    jnp.asarray(inputs["packed"]), jnp.asarray(inputs["nbytes"]),
+    jnp.asarray(inputs["nodes"]), jnp.asarray(inputs["n_chains"]),
+    jnp.asarray(T),
+    permissible=head.crack_format == CrackFormat.PERMISSIBLE,
+  )
+
+
 def decode_window(binary: bytes, z_start: int, z_end: int,
                   label: Optional[int] = None,
                   check_crcs: bool = True) -> Optional[np.ndarray]:

@@ -102,7 +102,7 @@ def p1_fn(pk, nb, nc):
   from jax.experimental.pallas import tpu as pltpu
   meta = jnp.stack([nb.astype(jnp.int32), nc.astype(jnp.int32)],
                    axis=1)[:, None, :]
-  keys = pl.pallas_call(
+  keys, cls = pl.pallas_call(
     functools.partial(replay_pallas._keys_kernel, CAP=CAP),
     grid=(B,),
     in_specs=[
@@ -111,9 +111,16 @@ def p1_fn(pk, nb, nc):
       pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
                    memory_space=pltpu.SMEM),
     ],
-    out_specs=pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0),
-                           memory_space=pltpu.VMEM),
-    out_shape=jax.ShapeDtypeStruct((B, R, 128), jnp.int32),
+    out_specs=[
+      pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0),
+                   memory_space=pltpu.VMEM),
+    ],
+    out_shape=[
+      jax.ShapeDtypeStruct((B, R, 128), jnp.int32),
+      jax.ShapeDtypeStruct((B, R, 128), jnp.int32),
+    ],
     interpret=False,
   )(diffs, meta)
   return keys

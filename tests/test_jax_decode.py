@@ -175,3 +175,19 @@ def test_jax_decode_replay_kernel_interpret(monkeypatch, smooth):
   np.testing.assert_array_equal(vcg_pallas, vcg_xla)
   out = engine.decode_window(binary, 0, 3)
   np.testing.assert_array_equal(out, vol)
+
+
+def test_device_stream_decode_interpret(monkeypatch):
+  """upload_stream parks the parsed sections on device; window decodes
+  must match the host oracle with no further host parsing."""
+  from crackle_tpu.kernels import ccl_pallas
+  monkeypatch.setattr(ccl_pallas, "INTERPRET", True)
+  vol = random_volume((32, 24, 6), 9, 7, 4)
+  binary = crackle.compress(vol)
+  stream = engine.upload_stream(binary)
+  assert stream is not None
+  for z0, z1 in [(0, 6), (2, 5)]:
+    labels, cc, N = stream.decode_window(z0, z1)
+    got = np.asarray(labels).astype(vol.dtype) \
+      .reshape(z1 - z0, 24, 32).transpose(2, 1, 0)
+    np.testing.assert_array_equal(got, vol[:, :, z0:z1])
