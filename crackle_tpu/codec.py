@@ -630,6 +630,62 @@ def _pool_size(parallel: int, n_items: int) -> int:
   return max(1, min(n, n_items))
 
 
+def _encode_flat_fused(flat, sx, sy, sz, stored_dtype, permissible,
+                       parallel):
+  """One pooled pass per slice through the fused native encode step
+  (trace + pack + CCL + mapping in a single C call, GIL released),
+  then the global uniq/keys assembly. Byte-identical to the
+  trace/pack/encode_flat pipeline; returns (crack_code_bytes,
+  labels_binary, crack_crcs) or None to fall back."""
+  from . import native
+  if not native.available():
+    return None
+  sxy = sx * sy
+  codes: list = [None] * sz
+  maps: list = [None] * sz
+  nums = np.zeros(sz, dtype=np.uint64)
+  crcs = np.zeros(sz, dtype=np.uint32)
+  failed: list = []
+
+  def one(z):
+    res = native.encode_slice(
+      flat[z * sxy:(z + 1) * sxy], sx, sy, permissible)
+    if res is None:
+      failed.append(z)
+      return
+    code, cc, mapping, n = res
+    codes[z] = code
+    crcs[z] = crc32c(cc)  # before the thread reuses the cc scratch
+    maps[z] = mapping
+    nums[z] = n
+
+  n_threads = _pool_size(parallel, sz)
+  if n_threads <= 1 or sz <= 1:
+    for z in range(sz):
+      one(z)
+  else:
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(n_threads) as pool:
+      list(pool.map(one, range(sz)))
+  if failed:
+    return None
+
+  mapping = np.concatenate(maps) if sz else np.zeros(0, np.uint64)
+  uniq = np.unique(mapping)
+  keys = np.searchsorted(uniq, mapping)
+  key_width = compute_byte_width(len(uniq))
+  component_width = compute_byte_width(sxy)
+  labels_binary = b''.join([
+    itoc(len(uniq), 8),
+    np.ascontiguousarray(uniq.astype(stored_dtype)).tobytes(),
+    np.ascontiguousarray(
+      nums.astype(width2dtype[component_width])).tobytes(),
+    np.ascontiguousarray(
+      keys.astype(width2dtype[key_width])).tobytes(),
+  ])
+  return codes, labels_binary, crcs
+
+
 def compress(labels: np.ndarray, allow_pins: int = 0,
              markov_model_order: int = 0, bgcolor: Optional[int] = None,
              parallel: int = 0, optimize_pins: Optional[bool] = None
@@ -690,6 +746,26 @@ def compress(labels: np.ndarray, allow_pins: int = 0,
     return head.tobytes()
 
   permissible = crack_format == CrackFormat.PERMISSIBLE
+
+  if (head.markov_model_order == 0
+      and label_format == LabelFormat.FLAT):
+    fused = _encode_flat_fused(
+      flat, sx, sy, sz, stored_dtype, permissible, parallel)
+    if fused is not None:
+      crack_code_bytes, labels_binary, crack_crcs_arr = fused
+      head.num_label_bytes = len(labels_binary)
+      z_index = np.array(
+        [len(c) for c in crack_code_bytes], dtype='<u4').tobytes()
+      z_index += itoc(crc32c(z_index), 4)
+      return b''.join([
+        head.tobytes(),
+        z_index,
+        labels_binary,
+        *crack_code_bytes,
+        itoc(crc32c(labels_binary), 4),
+        np.asarray(crack_crcs_arr, dtype='<u4').tobytes(),
+      ])
+
   chains_per_z = _encode_boundaries(flat, sx, sy, sz, permissible,
                                     parallel)
 

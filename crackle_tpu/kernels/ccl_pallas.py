@@ -76,6 +76,59 @@ def _seg_min_bwd(L, blocked_b, axis):
   return v
 
 
+# -- precomputed-flag variants -----------------------------------------------
+#
+# The flag OR-chain of a segmented scan is value-independent, so inside
+# the fixed-point loops (which re-run the same scans many times) it is
+# hoisted: FB packs bit k = F^k where F^0 = blocked and F^{k+1} = F^k |
+# roll(F^k, 2^k) with out-of-range = 1. With F^k[i] guaranteed 1 for
+# i < 2^k (resp. i >= size - 2^k), the value rolls can wrap raw — the
+# wrapped garbage is always masked out — which drops the per-step
+# guard ops. Each step is then roll + and + min + select.
+
+def _pack_flags(blocked, axis, up):
+  size = blocked.shape[axis]
+  F = blocked
+  FB = blocked  # bit 0
+  k = 0
+  s = 1
+  while 2 * s < size:
+    if up:
+      F = F | _roll_up(F, s, axis, 1)
+    else:
+      F = F | _roll_down(F, s, axis, 1)
+    k += 1
+    FB = FB | (F << k)
+    s *= 2
+  return FB
+
+
+def _seg_min_fwd_p(L, FB, axis):
+  size = L.shape[axis]
+  v = L
+  s = 1
+  k = 0
+  while s < size:
+    v_s = pltpu.roll(v, jnp.int32(s), axis=axis)
+    v = jnp.where((FB & (1 << k)) > 0, v, jnp.minimum(v, v_s))
+    s *= 2
+    k += 1
+  return v
+
+
+def _seg_min_bwd_p(L, FB, axis):
+  size = L.shape[axis]
+  v = L
+  s = 1
+  k = 0
+  while s < size:
+    v_s = pltpu.roll(v, jnp.int32(size - s), axis=axis)
+    v = jnp.where((FB & (1 << k)) > 0, v, jnp.minimum(v, v_s))
+    s *= 2
+    k += 1
+  return v
+
+
 def _changed(a, b):
   # jnp.any / 64-bit intermediates choke the Mosaic lowering under
   # x64; reduce and carry strictly in int32
@@ -101,31 +154,35 @@ def _ccl_core(vcg_ref, cc_ref, *, sx, sy):
   left_ok = jnp.where(((v & 0b0010) > 0) & (xx > 0), one, zero)
   up_ok = jnp.where(((v & 0b1000) > 0) & (yy > 0), one, zero)
 
-  bxf = 1 - left_ok
-  bxb = 1 - _roll_up(left_ok, 1, 1, 0)       # not connected to x+1
-  byf = 1 - up_ok
-  byb = 1 - _roll_up(up_ok, 1, 0, 0)         # not connected to y+1
+  # borders are blocked by construction (left_ok[:,0] = up_ok[0,:] =
+  # 0, and the bwd flags set the trailing edge below), which the raw
+  # wrap-rolls of the packed-flag scans rely on
+  FBxf = _pack_flags(1 - left_ok, 1, up=False)
+  FBxb = _pack_flags(1 - _roll_up(left_ok, 1, 1, 0), 1, up=True)
+  FByf = _pack_flags(1 - up_ok, 0, up=False)
+  FByb = _pack_flags(1 - _roll_up(up_ok, 1, 0, 0), 0, up=True)
 
   def sweep(L):
-    L = _seg_min_fwd(L, bxf, 1)
-    L = _seg_min_bwd(L, bxb, 1)
-    L = _seg_min_fwd(L, byf, 0)
-    L = _seg_min_bwd(L, byb, 0)
+    L = _seg_min_fwd_p(L, FBxf, 1)
+    L = _seg_min_bwd_p(L, FBxb, 1)
+    L = _seg_min_fwd_p(L, FByf, 0)
+    L = _seg_min_bwd_p(L, FByb, 0)
     return L
 
   L0 = yy * sx + xx
 
   def cond(state):
-    _L, changed = state
+    _L, changed, _n = state
     return changed > 0
 
   def body(state):
-    L, _ = state
+    L, _, n = state
     L2 = sweep(L)
-    return L2, _changed(L2, L)
+    return L2, _changed(L2, L), n + 1
 
   L1 = sweep(L0)
-  L, _ = jax.lax.while_loop(cond, body, (L1, _changed(L1, L0)))
+  L, _, n_sweeps = jax.lax.while_loop(
+    cond, body, (L1, _changed(L1, L0), jnp.int32(1)))
 
   # first-visit rank of each root via a raster-order 2D prefix sum
   is_root = (L == L0)
@@ -145,16 +202,15 @@ def _ccl_core(vcg_ref, cc_ref, *, sx, sy):
     s *= 2
   rank = row_cum + (row_off - row_tot) - 1
 
-  # plant ranks at roots and re-propagate (gather-free renumber)
+  # plant ranks at roots and re-propagate (gather-free renumber).
+  # Propagation distance is value-independent: the planted root value
+  # reaches every pixel through exactly the scan relays that carried
+  # the component minimum in loop 1, so n_sweeps - 1 sweeps (the count
+  # loop 1 needed before its no-change verify) are provably enough —
+  # no second convergence check.
   R0 = jnp.where(is_root, rank, jnp.int32(_INT32_MAX))
-
-  def body2(state):
-    R, _ = state
-    R2 = sweep(R)
-    return R2, _changed(R2, R)
-
-  R1 = sweep(R0)
-  R, _ = jax.lax.while_loop(cond, body2, (R1, _changed(R1, R0)))
+  R = jax.lax.fori_loop(
+    0, jnp.maximum(n_sweeps - 1, 1), lambda _i, Rv: sweep(Rv), R0)
 
   cc_ref[0] = R
   return is_root, rank, sweep, cond, R

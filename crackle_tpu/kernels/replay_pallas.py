@@ -9,21 +9,24 @@ in VMEM:
   kernel P1: diff codepoints -> classified stream -> int32 sort keys
   (XLA sorts the keys between the kernels — its bitonic sort is fast)
   kernel P2: sorted keys -> next-close matching -> position replay ->
-             per-move edge indices, with the cancel scatter as one-hot
-             matmuls feeding the MXU directly from VMEM.
-  (XLA sorts the edge indices)
-  kernel P3: sorted edge indices -> VH presence raster. Because the
-             indices are sorted, each 128-update chunk touches a
-             narrow contiguous window of output bins, so the one-hot
-             scatter matmul only spans that window (dynamic-offset
-             accumulate) instead of all sy*sx*2 bins — ~25x fewer
-             MACs than a full-bin scatter at 256x256.
+             edge presence -> the assembled 4-bit VCG, fully
+             VMEM-resident. Both scatters (scope cancellation into
+             the CAP-bin position accumulator; edge presence into the
+             VH raster) run as *windowed* one-hot matmuls on the MXU:
+             a chunk of 128 consecutive crack moves walks adjacent
+             pixels, so its bins span a narrow row window computed
+             by an in-kernel min/max reduction — no sort of the edge
+             indices and orders of magnitude fewer MACs than a
+             full-bin scatter.
 
 Layout: the CAP codepoints of a slice live as a (R, 128) int32 grid
 in flat raster order; scans are log-step roll/select passes within
 rows plus a row-carry pass (the same pattern as the CCL kernel).
-The cancel accumulator has CAP bins = exactly the (R, 128) grid, and
-the VH paint bins (sy*(sx+1) + (sy+1)*sx) tile as (HI, 512).
+The cancel accumulator has CAP bins = exactly the (R, 128) grid. The
+VH paint bins interleave the vertical/horizontal edge rasters by dual
+row (bin row 2y = V edges of row y, 2y+1 = H edges) so a chunk mixing
+edge kinds still lands in one narrow window; the final VCG assembly
+(shift/or of the V/H planes) happens in-kernel.
 
 Eligibility (host checks, else the XLA path runs): CAP a power of two
 in [256, 16384] (int32 keys need depth*CAP*8 < 2^31), chain table
@@ -225,22 +228,112 @@ def _floor_div(a, d):
   return q
 
 
-def _row(ref, k, i):
-  """(1, C) dynamic row slice of plane k of a (K, R, C) scratch ref
-  (Mosaic has no dynamic_slice on values, only on refs)."""
-  return ref[k, pl.ds(i, 1), :]
+PAINT_W = 16   # paint scatter: bin-row window height per matmul
+CANCEL_W = 8   # cancel scatter: bin-row window height per matmul
+PAINT_LO = 512
 
 
-def _bf16_onehot(row_1c, iota_rc):
-  """one-hot (ROWS, C): [iota == row broadcast] in bf16."""
-  b = jax.lax.broadcast_in_dim(row_1c, iota_rc.shape, (0, 1))
-  return jnp.where(b == iota_rc, jnp.float32(1), jnp.float32(0)) \
-    .astype(jnp.bfloat16)
+def _win_scatter(io_scr, plane, lim_ref, lim0, acc_scr, *, R, W, LO,
+                 n_hi, weights_planes=None):
+  """Windowed scatter-accumulate via one-hot matmuls on the MXU.
+
+  Entries live in plane `plane` of io_scr as a (R, 128) grid of bin
+  ids (hi = id // LO, lo = id % LO; id < 0 = skip). Each 128-entry
+  chunk's bins span a narrow row window (chunk entries are
+  consecutive crack-code moves, which walk adjacent pixels): per
+  chunk, W-row one-hot matmuls accumulate into acc_scr at dynamic row
+  offsets (multiples of W for sublane alignment). Window bounds come
+  precomputed from XLA through SMEM (lim_ref rows lim0 = first W-row
+  window index, lim0+1 = window count; count <= 0 skips the chunk) —
+  scalar reductions inside the loop stall the VPU pipeline, so they
+  are hoisted out of the kernel entirely.
+
+  weights_planes: optional (plane_h, plane_v) pair — folds the two
+  weight channels into the hi-one-hot (A rows stacked [h; v]) and
+  accumulates them side by side at columns [0, LO) and [LO, 2*LO).
+  Without it, scatters presence (weight 1) into [0, LO).
+  """
+  C = LANES
+  shift = int(np.log2(LO))
+  iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
+  iota_lo = jax.lax.broadcasted_iota(jnp.int32, (LO, C), 0)
+
+  def chunk(j, carry):
+    row = io_scr[plane, pl.ds(j, 1), :]  # (1, C) bin ids
+    valid = row >= 0
+    hi = row >> shift
+    lo = row & (LO - 1)
+    bq = lim_ref[0, lim0, j]
+    nsub = lim_ref[0, lim0 + 1, j]
+
+    lob = jax.lax.broadcast_in_dim(lo, (LO, C), (0, 1))
+    Blo = jnp.where(lob == iota_lo, jnp.float32(1), jnp.float32(0)) \
+      .astype(jnp.bfloat16)
+    # invalid entries: park hi outside every window so their A row
+    # contribution is all-zero
+    hib = jax.lax.broadcast_in_dim(
+      jnp.where(valid, hi, n_hi + 2 * W), (W, C), (0, 1))
+    if weights_planes is not None:
+      wh = io_scr[weights_planes[0], pl.ds(j, 1), :] \
+        .astype(jnp.float32)
+      wv = io_scr[weights_planes[1], pl.ds(j, 1), :] \
+        .astype(jnp.float32)
+      whb = jax.lax.broadcast_in_dim(wh, (W, C), (0, 1))
+      wvb = jax.lax.broadcast_in_dim(wv, (W, C), (0, 1))
+
+    def sub(w, c2):
+      start = (bq + w) * W
+      rel = hib - start
+      A = jnp.where(rel == iota_w, jnp.float32(1), jnp.float32(0))
+      if weights_planes is None:
+        part = jax.lax.dot_general(
+          A.astype(jnp.bfloat16), Blo, (((1,), (1,)), ((), ())),
+          preferred_element_type=jnp.float32,
+        )  # (W, LO)
+        acc_scr[pl.ds(start, W), 0:LO] = \
+          acc_scr[pl.ds(start, W), 0:LO] + part
+      else:
+        A2 = jnp.concatenate(
+          [A * whb, A * wvb], axis=0).astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+          A2, Blo, (((1,), (1,)), ((), ())),
+          preferred_element_type=jnp.float32,
+        )  # (2W, LO)
+        acc_scr[pl.ds(start, W), 0:LO] = \
+          acc_scr[pl.ds(start, W), 0:LO] + part[0:W]
+        acc_scr[pl.ds(start, W), LO:2 * LO] = \
+          acc_scr[pl.ds(start, W), LO:2 * LO] + part[W:2 * W]
+      return c2
+
+    jax.lax.fori_loop(0, nsub, sub, 0)
+    return carry
+
+  jax.lax.fori_loop(0, R, chunk, 0)
 
 
-def _replay_kernel(cls_ref, meta_ref, nodes_ref, skeys_ref,
-                   vhidx_ref, acc_scr, io_scr, *,
-                   CAP, CAP_CH, sx, sy):
+def _chunk_lims(ids, LO, W, n_hi):
+  """XLA: per-128-chunk W-row window (index, count) of valid bin ids.
+
+  ids: (B, R, 128) int32, negative = pad. Returns (B, 2, R) int32."""
+  valid = ids >= 0
+  hi = ids >> int(np.log2(LO))
+  hmin = jnp.min(jnp.where(valid, hi, n_hi + W), axis=2)
+  hmax = jnp.max(jnp.where(valid, hi, -1), axis=2)
+  logw = int(np.log2(W))
+  bq = hmin >> logw
+  nsub = (hmax >> logw) - bq + 1  # <= 0 when the chunk is all-pad
+  return jnp.stack([bq, nsub], axis=1).astype(jnp.int32)
+
+
+def _replay_kernel(cls_ref, meta_ref, nodes_ref, tgt_ref, wh_ref,
+                   wv_ref, limc_ref, vhidx_ref, acc_scr, io_scr, *,
+                   CAP, CAP_CH, sx, sy, HI2):
+  """P2: scope cancellation (windowed one-hot matmul scatter into the
+  CAP-bin position accumulator) -> position replay -> edge bin ids in
+  the interleaved V/H paint layout. The scope matching itself
+  (nextclose over the sorted keys) runs in XLA — it is pure scans, and
+  hoisting it lets XLA also precompute the scatter window limits
+  (in-kernel scalar reductions stall the VPU pipeline)."""
   C = LANES
   R = CAP // C
   sxe = sx + 1
@@ -250,65 +343,13 @@ def _replay_kernel(cls_ref, meta_ref, nodes_ref, skeys_ref,
   mv = (clsv >> 2) & 1
   chain_of = clsv >> 3
 
-  # --- sorted space: next close at same depth ---
-  skeys = skeys_ref[0]
-  is_inf = jnp.where(skeys == _I32MAX, 1, 0)
-  cps_s = skeys & 3
-  is_close = ((skeys >> 2) & 1) * (1 - is_inf)
-  body = skeys >> 3
-  depth_s = body >> int(np.log2(CAP))
-  pos_s = body & (CAP - 1)
-
-  seg_last = jnp.where(
-    (depth_s != _flat_shift_left(depth_s, -1)) | (is_inf > 0), 1, 0)
-  setf = jnp.minimum(is_close + seg_last, 1)
-  e = jnp.where(setf > 0, jnp.where(is_close > 0, pos_s, CAP), -1)
-  nextclose = _flat_scan(e, _op_firstset, -1, reverse=True)
-  nextclose = jnp.where(nextclose < 0, CAP, nextclose)
-
-  move_s = (1 - is_inf) * (1 - is_close)
-  w_h = (jnp.where(cps_s == 3, 1, 0) - jnp.where(cps_s == 1, 1, 0)) \
-      * move_s
-  w_v = (jnp.where(cps_s == 0, 1, 0) - jnp.where(cps_s == 2, 1, 0)) \
-      * move_s
-  tgt = jnp.where((move_s > 0) & (nextclose < CAP), nextclose, -1)
-
-  # --- cancel scatter as a chunked one-hot matmul ---
-  # bins = CAP laid out as the (R, 128) grid itself: hi = row index,
-  # lo = lane. Two weight channels (horizontal, vertical) share the
-  # hi one-hot; each chunk is one 128-entry row.
-  t_hi = jnp.where(tgt < 0, -1, tgt >> 7)
-  t_lo = tgt & (C - 1)
-  iota_hi_c = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
-  iota_lo_c = jax.lax.broadcasted_iota(jnp.int32, (2 * C, C), 0) \
-      & (C - 1)
-  chan = jax.lax.broadcasted_iota(jnp.int32, (2 * C, C), 0) >= C
-
-  acc_scr[0:R, 0:2 * C] = jnp.zeros((R, 2 * C), jnp.float32)
-  io_scr[0] = t_hi
-  io_scr[1] = t_lo
-  io_scr[2] = w_h
-  io_scr[3] = w_v
-
-  def cancel_chunk(i, carry):
-    A = _bf16_onehot(_row(io_scr, 0, i), iota_hi_c)
-    lb = jax.lax.broadcast_in_dim(
-      _row(io_scr, 1, i), (2 * C, C), (0, 1))
-    onehot = jnp.where(lb == iota_lo_c, 1, 0)
-    whb = jax.lax.broadcast_in_dim(
-      _row(io_scr, 2, i), (2 * C, C), (0, 1))
-    wvb = jax.lax.broadcast_in_dim(
-      _row(io_scr, 3, i), (2 * C, C), (0, 1))
-    w = jnp.where(chan, wvb, whb)
-    Bm = (onehot * w).astype(jnp.bfloat16)
-    part = jax.lax.dot_general(
-      A, Bm, (((1,), (1,)), ((), ())),
-      preferred_element_type=jnp.float32,
-    )  # (R, 2C)
-    acc_scr[0:R, 0:2 * C] = acc_scr[0:R, 0:2 * C] + part
-    return carry
-
-  jax.lax.fori_loop(0, R, cancel_chunk, 0)
+  # --- cancel scatter (bins = the (R, 128) position grid itself) ---
+  acc_scr[:, :] = jnp.zeros((R + CANCEL_W, 2 * C), jnp.float32)
+  io_scr[0] = tgt_ref[0]
+  io_scr[1] = wh_ref[0]
+  io_scr[2] = wv_ref[0]
+  _win_scatter(io_scr, 0, limc_ref, 0, acc_scr, R=R, W=CANCEL_W,
+               LO=C, n_hi=R, weights_planes=(1, 2))
   cancel_h = acc_scr[0:R, 0:C].astype(jnp.int32)
   cancel_v = acc_scr[0:R, C:2 * C].astype(jnp.int32)
 
@@ -331,70 +372,45 @@ def _replay_kernel(cls_ref, meta_ref, nodes_ref, skeys_ref,
   )
   pos_before = pos_after + base * mv - deltas
 
-  # --- edge indices ---
+  # --- edge bin ids in the interleaved V/H layout ---
+  # bin row 2*py = V edges of dual row py, 2*py+1 = H edges of py, so
+  # a chunk mixing edge kinds still lands in one narrow window
   py = _floor_div(pos_before, sxe)
   px = pos_before - py * sxe
-  NV = sy * sxe
+  LO = PAINT_LO
   vh_idx = jnp.where(
-    cps == 0, px + sxe * (py - 1),
+    cps == 0, (2 * (py - 1)) * LO + px,
     jnp.where(
-      cps == 2, px + sxe * py,
-      jnp.where(cps == 3, NV + (px - 1) + sx * py,
-                NV + px + sx * py)))
+      cps == 2, (2 * py) * LO + px,
+      jnp.where(cps == 3, (2 * py + 1) * LO + (px - 1),
+                (2 * py + 1) * LO + px)))
   vh_idx = jnp.where((mv > 0) & (vh_idx >= 0), vh_idx, -1)
+  vh_idx = jnp.where(vh_idx < HI2 * LO, vh_idx, -1)
   vhidx_ref[0] = vh_idx
 
 
-# ---------------------------------------------------------------------------
-# P3: sorted edge indices -> VH presence raster
-# ---------------------------------------------------------------------------
+def _paint_vcg_kernel(vhidx_ref, limp_ref, vcg_ref, paint_scr, *,
+                      R, sx, sy, HI2):
+  """P3: edge presence scatter (windowed one-hot matmuls) + in-kernel
+  4-bit VCG assembly from the interleaved V/H raster."""
+  LO = PAINT_LO
+  paint_scr[:, :] = jnp.zeros((HI2 + PAINT_W, LO), jnp.float32)
+  _win_scatter(vhidx_ref, 0, limp_ref, 0, paint_scr, R=R, W=PAINT_W,
+               LO=LO, n_hi=HI2)
 
-PAINT_W = 16  # output-row window height per scatter matmul
-
-
-def _paint_kernel(svh_ref, lim_ref, vh_ref, acc_scr, *, R, HI, LO, W):
-  """Sorted-window scatter: chunk j holds 128 sorted edge indices, so
-  its bin rows span [base_j, last_j] — a handful of W-row windows.
-  Each window is one (W, 128)@(128, LO) one-hot matmul accumulated at
-  a dynamic row offset. Total MACs ~ (R + HI/W) * W*LO*128 instead of
-  R * HI*LO*128 for the full-bin scatter. Pad entries sort to the end
-  as bin HI*LO and land in the W scratch pad rows."""
-  C = LANES
-  shift = int(np.log2(LO))
-  acc_scr[:, :] = jnp.zeros((HI + W, LO), jnp.float32)
-  iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
-  iota_lo = jax.lax.broadcasted_iota(jnp.int32, (LO, C), 0)
-
-  def chunk(j, carry):
-    row = svh_ref[0, pl.ds(j, 1), :]  # (1, C) sorted bins
-    hi = row >> shift
-    lo = row & (LO - 1)
-    lob = jax.lax.broadcast_in_dim(lo, (LO, C), (0, 1))
-    Blo = jnp.where(lob == iota_lo, jnp.float32(1), jnp.float32(0)) \
-      .astype(jnp.bfloat16)
-    hib = jax.lax.broadcast_in_dim(hi, (W, C), (0, 1))
-    # window index (rows/W): start = (bq + w) * W is a multiple of W,
-    # which Mosaic needs to prove sublane alignment of dynamic loads
-    bq = lim_ref[0, 0, j]
-    nsub = lim_ref[0, 1, j]
-
-    def sub(w, c2):
-      start = (bq + w) * W
-      rel = hib - start
-      A = jnp.where(rel == iota_w, jnp.float32(1), jnp.float32(0)) \
-        .astype(jnp.bfloat16)
-      part = jax.lax.dot_general(
-        A, Blo, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-      )  # (W, LO)
-      acc_scr[pl.ds(start, W), :] = acc_scr[pl.ds(start, W), :] + part
-      return c2
-
-    jax.lax.fori_loop(0, nsub, sub, 0)
-    return carry
-
-  jax.lax.fori_loop(0, R, chunk, 0)
-  vh_ref[0] = jnp.where(acc_scr[0:HI, :] > 0, 1, 0)
+  # --- assemble the 4-bit VCG in-kernel ---
+  # interleaved rows: 2y = V edges of dual row y, 2y+1 = H edges.
+  # vcg[y, x] = V[y, x+1] | V[y, x]<<1 | H[y+1, x]<<2 | H[y, x]<<3
+  pres = jnp.where(paint_scr[0:HI2, :] > 0, 1, 0)  # (HI2, LO) int32
+  r3 = pres.reshape(sy + 1, 2, LO)
+  V2 = r3[:, 0, :]  # (sy+1, LO); valid V rows are 0..sy-1
+  H2 = r3[:, 1, :]  # (sy+1, LO); valid H rows are 0..sy
+  v_lo = V2[0:sy, :]
+  v_sh = _roll_up(v_lo, 1, 1, 0)        # V[y, x+1]
+  h_dn = _roll_up(H2, 1, 0, 0)[0:sy, :]  # H[y+1, x]
+  h_up = H2[0:sy, :]
+  vcg = (v_sh | (v_lo << 1) | (h_dn << 2) | (h_up << 3))
+  vcg_ref[0] = vcg[:, 0:sx]
 
 
 # ---------------------------------------------------------------------------
@@ -409,9 +425,13 @@ def eligible(CAP: int, CAP_CH: int, sx: int, sy: int) -> bool:
   # chain bases and positions must fit the f32 floor-div window
   if (sx + 1) * (sy + 1) >= (1 << 24):
     return False
+  if sx + 1 > PAINT_LO:  # interleaved V/H bin rows hold one dual row
+    return False
   R = CAP // LANES
-  HI = -(-(sy * (sx + 1) + (sy + 1) * sx) // 512)
-  vmem = 30 * R * LANES * 4 + (HI + 8) * 512 * 4
+  HI2 = 2 * (sy + 1)
+  vmem = (30 * R * LANES * 4
+          + (HI2 + PAINT_W) * PAINT_LO * 4   # paint accumulator
+          + 3 * HI2 * PAINT_LO * 4)          # presence/V/H planes
   return vmem <= 10 * 1024 * 1024
 
 
@@ -431,11 +451,7 @@ def replay_vcg_traced(packed, nbytes, nodes, n_chains, sx, sy,
   CAP = CAP_B * 4
   R = CAP // LANES
   CAP_CH = nodes.shape[1]
-  LO = 512
-  NV = sy * (sx + 1)
-  NH = (sy + 1) * sx
-  OOB = NV + NH
-  HI = -(-OOB // LO)
+  HI2 = 2 * (sy + 1)
   INTERPRET = ccl_pallas.INTERPRET
 
   # 2-bit unpack in XLA (one cheap pass); kernels get (B, R, 128)
@@ -471,12 +487,44 @@ def replay_vcg_traced(packed, nbytes, nodes, n_chains, sx, sy,
       interpret=INTERPRET,
     )(diffs, meta)
 
-    skeys = jnp.sort(keys.reshape(B, CAP), axis=1) \
+    skeys = jnp.sort(keys.reshape(B, CAP), axis=1)
+
+    # scope matching in XLA (pure scans): next close at same depth,
+    # per-move cancel weights, and the scatter window limits
+    is_inf = skeys == _I32MAX
+    cps_s = (skeys & 3).astype(jnp.int32)
+    is_close = ((skeys >> 2) & 1).astype(jnp.bool_) & ~is_inf
+    body = skeys >> 3
+    depth_s = (body // CAP).astype(jnp.int32)
+    pos_s = (body % CAP).astype(jnp.int32)
+
+    from .decode import _shift_left
+    seg_last = (depth_s != _shift_left(depth_s, -1)) | is_inf
+    setf = is_close | seg_last
+    e = jnp.where(setf, jnp.where(is_close, pos_s, CAP), -1)
+
+    def comb(a, bb):
+      return jnp.where(bb < 0, a, bb)
+
+    nextclose = jax.lax.associative_scan(
+      comb, e[:, ::-1], axis=1)[:, ::-1]
+    nextclose = jnp.where(nextclose < 0, CAP, nextclose)
+
+    move_s = ~is_inf & ~is_close
+    w_h = (jnp.where(move_s & (cps_s == 3), 1, 0)
+           - jnp.where(move_s & (cps_s == 1), 1, 0))
+    w_v = (jnp.where(move_s & (cps_s == 0), 1, 0)
+           - jnp.where(move_s & (cps_s == 2), 1, 0))
+    tgt = jnp.where(move_s & (nextclose < CAP), nextclose, -1) \
       .reshape(B, R, LANES)
+    w_h = w_h.reshape(B, R, LANES)
+    w_v = w_v.reshape(B, R, LANES)
+    lims_c = _chunk_lims(tgt, LANES, CANCEL_W, R)
 
     vhidx = pl.pallas_call(
       functools.partial(
         _replay_kernel, CAP=CAP, CAP_CH=CAP_CH, sx=sx, sy=sy,
+        HI2=HI2,
       ),
       grid=(B,),
       in_specs=[
@@ -488,32 +536,29 @@ def replay_vcg_traced(packed, nbytes, nodes, n_chains, sx, sy,
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2, R), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
       ],
       out_specs=pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
       out_shape=jax.ShapeDtypeStruct((B, R, LANES), jnp.int32),
       scratch_shapes=[
-        pltpu.VMEM((R, 2 * LANES), jnp.float32),
-        pltpu.VMEM((4, R, LANES), jnp.int32),
+        pltpu.VMEM((R + CANCEL_W, 2 * LANES), jnp.float32),
+        pltpu.VMEM((3, R, LANES), jnp.int32),
       ],
       interpret=INTERPRET,
-    )(cls, meta, nodes_, skeys)
+    )(cls, meta, nodes_, tgt, w_h, w_v, lims_c)
 
-    # sort edge indices per slice; pads / out-of-raster moves become
-    # bin HI*LO (one row past the raster, landing in scratch pad rows)
-    W = PAINT_W
-    vflat = vhidx.reshape(B, CAP)
-    svh = jnp.where((vflat < 0) | (vflat >= OOB), HI * LO, vflat)
-    svh = jnp.sort(svh, axis=1).reshape(B, R, LANES)
-    logw = int(np.log2(W))
-    bq = jnp.minimum(svh[:, :, 0] >> int(np.log2(LO)), HI) >> logw
-    lq = jnp.minimum(svh[:, :, LANES - 1] >> int(np.log2(LO)), HI) \
-      >> logw
-    lims = jnp.stack([bq, lq - bq + 1], axis=1) \
-      .astype(jnp.int32)  # (B, 2, R): W-row window index + count
+    lims_p = _chunk_lims(vhidx, PAINT_LO, PAINT_W, HI2)
 
-    vh = pl.pallas_call(
-      functools.partial(_paint_kernel, R=R, HI=HI, LO=LO, W=W),
+    vcg = pl.pallas_call(
+      functools.partial(
+        _paint_vcg_kernel, R=R, sx=sx, sy=sy, HI2=HI2,
+      ),
       grid=(B,),
       in_specs=[
         pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
@@ -521,23 +566,16 @@ def replay_vcg_traced(packed, nbytes, nodes, n_chains, sx, sy,
         pl.BlockSpec((1, 2, R), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
       ],
-      out_specs=pl.BlockSpec((1, HI, LO), lambda i: (i, 0, 0),
+      out_specs=pl.BlockSpec((1, sy, sx), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-      out_shape=jax.ShapeDtypeStruct((B, HI, LO), jnp.int32),
+      out_shape=jax.ShapeDtypeStruct((B, sy, sx), jnp.int32),
       scratch_shapes=[
-        pltpu.VMEM((HI + W, LO), jnp.float32),
+        pltpu.VMEM((HI2 + PAINT_W, PAINT_LO), jnp.float32),
       ],
       interpret=INTERPRET,
-    )(svh, lims)
+    )(vhidx, lims_p)
 
-  VH = vh.reshape(B, HI * LO)[:, :OOB].astype(jnp.uint8)
-  V2 = VH[:, :NV].reshape(B, sy, sx + 1)
-  H2 = VH[:, NV:].reshape(B, sy + 1, sx)
-  vcg = (V2[:, :, 1:]
-         | (V2[:, :, :sx] << 1)
-         | (H2[:, 1:, :] << 2)
-         | (H2[:, :sy, :] << 3))
-  vcg = vcg.reshape(B, sy * sx)
+  vcg = vcg.reshape(B, sy * sx).astype(jnp.uint8)
   if not permissible:
     vcg = vcg ^ 0b1111
   return vcg

@@ -58,6 +58,11 @@ def load():
   lib.crackle_trace_slice.argtypes = [
     p, i32, i64, i64, i32, p, p, i64, p, i64, p, p, i64,
   ]
+  lib.crackle_encode_slice.restype = i64
+  lib.crackle_encode_slice.argtypes = [
+    p, i32, i64, i64, i32, p, p, i64, p, i64, p, p, i64,
+    p, i64, p, p, p,
+  ]
   lib.crackle_ccl_slice.restype = i64
   lib.crackle_ccl_slice.argtypes = [p, i32, i64, i64, p]
   lib.crackle_ccl_vcg_slice.restype = i64
@@ -132,6 +137,58 @@ def trace_slice(labels_flat: np.ndarray, sx: int, sy: int,
   total = int(cp_lens[:n_chains].sum())
   return (nodes[:n_chains].copy(), cp_lens[:n_chains].copy(),
           cps[:total].copy())
+
+
+def encode_slice(labels_flat: np.ndarray, sx: int, sy: int,
+                 permissible: bool):
+  """Fused C++ per-slice FLAT encode: packed crack code (BOC index +
+  diff-packed moves), first-visit CCL image, per-component source
+  labels. Returns (code bytes, cc uint32 view, mapping, n) or None.
+
+  The cc view aliases a per-thread scratch buffer — consume it (crc)
+  before the next call on the same thread."""
+  lib = load()
+  if lib is None:
+    return None
+  labels_flat = np.ascontiguousarray(labels_flat)
+  width = labels_flat.dtype.itemsize
+  n_corners = (sx + 1) * (sy + 1)
+  sxy = sx * sy
+  sym_cap = max(16 * sxy + 64, 4096)
+  cps_cap = sym_cap * 2
+  max_chains = sxy + 8
+  code_cap = cps_cap // 4 + 16 * max_chains + 64
+
+  scratch = getattr(_trace_scratch_tls, 'enc_bufs', None)
+  if scratch is None:
+    scratch = _trace_scratch_tls.enc_bufs = {}
+  key = (sx, sy)
+  bufs = scratch.get(key)
+  if bufs is None:
+    bufs = (
+      np.zeros(n_corners, np.uint8),     # adj
+      np.zeros(sym_cap, np.uint8),       # symbols
+      np.zeros(cps_cap, np.uint8),       # cps
+      np.zeros(max_chains, np.int64),    # nodes
+      np.zeros(max_chains, np.int64),    # cp lens
+      np.zeros(code_cap, np.uint8),      # packed code
+      np.zeros(sxy, np.uint32),          # cc image
+      np.zeros(sxy, np.uint64),          # mapping
+    )
+    scratch[key] = bufs
+  adj, symbols, cps, nodes, cp_lens, code, cc, mapping = bufs
+  out_n = np.zeros(1, np.int64)
+
+  code_len = lib.crackle_encode_slice(
+    _ptr(labels_flat), width, sx, sy, int(permissible),
+    _ptr(adj), _ptr(symbols), sym_cap, _ptr(cps), cps_cap,
+    _ptr(nodes), _ptr(cp_lens), max_chains,
+    _ptr(code), code_cap, _ptr(cc), _ptr(mapping), _ptr(out_n),
+  )
+  if code_len < 0:
+    return None
+  n = int(out_n[0])
+  return code[:code_len].tobytes(), cc, mapping[:n].copy(), n
 
 
 def ccl_slice(labels_flat: np.ndarray, sx: int, sy: int):

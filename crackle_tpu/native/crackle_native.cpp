@@ -9,6 +9,7 @@
 //
 // Semantics mirror crackle_tpu/ops/crackcode.py and ops/ccl.py, which
 // follow the reference (src/crackcodes.hpp, src/cc3d.hpp).
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -260,6 +261,139 @@ int64_t crackle_trace_slice(
   }
 
   return n_chains;
+}
+
+int64_t crackle_ccl_slice(
+  const void* labels, int32_t label_width,
+  int64_t sx, int64_t sy, uint32_t* out);
+
+// Fused per-slice FLAT encode step: crack trace (adjacency + DFS +
+// fixups + codepoints via crackle_trace_slice) packed to the wire
+// format (4-byte BOC index size prefix ++ delta-coded BOC index ++
+// diff-coded 2-bit moves, 4 per byte LSB-first — pack_codepoints /
+// write_boc_index parity, src/crackcodes.hpp:318-372,455-496), plus
+// union-find first-visit CCL with the per-component source label
+// (labels.hpp:30-155's per-slice mapping). One call per z on the
+// encode thread pool; the caller computes crc32c(out_cc) and merges
+// the mappings into the global uniq/keys tables.
+// Returns packed code byte length, or -1 on buffer overflow / -2 on
+// unsupported width.
+int64_t crackle_encode_slice(
+  const void* labels, int32_t label_width,
+  int64_t sx, int64_t sy, int32_t permissible,
+  uint8_t* scratch_adj,
+  uint8_t* scratch_symbols, int64_t sym_cap,
+  uint8_t* scratch_cps, int64_t cps_cap,
+  int64_t* scratch_nodes, int64_t* scratch_cp_lens, int64_t max_chains,
+  uint8_t* out_code, int64_t code_cap,
+  uint32_t* out_cc,        // sx*sy first-visit CCL image
+  uint64_t* out_mapping,   // per-component first-visit source label
+  int64_t* out_n           // component count
+) {
+  int64_t n_chains = crackle_trace_slice(
+    labels, label_width, sx, sy, permissible,
+    scratch_adj, scratch_symbols, sym_cap,
+    scratch_cps, cps_cap, scratch_nodes, scratch_cp_lens, max_chains
+  );
+  if (n_chains < 0) return n_chains;
+
+  // chain order on the wire = sorted start node
+  std::vector<int64_t> order(n_chains);
+  for (int64_t i = 0; i < n_chains; i++) order[i] = i;
+  std::vector<int64_t> cp_off(n_chains + 1, 0);
+  for (int64_t i = 0; i < n_chains; i++) {
+    cp_off[i + 1] = cp_off[i] + scratch_cp_lens[i];
+  }
+  std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+    return scratch_nodes[a] < scratch_nodes[b];
+  });
+
+  // BOC index: delta-coded y rows, each with count + delta-coded xs
+  const int64_t sxe = sx + 1;
+  auto bw = [](uint64_t x) {
+    return x <= 0xFF ? 1 : x <= 0xFFFF ? 2 : x <= 0xFFFFFFFFull ? 4 : 8;
+  };
+  const int xw = bw((uint64_t)(sx + 1));
+  const int yw = bw((uint64_t)(sy + 1));
+  int64_t num_y = 0;
+  int64_t prev_y = -1;
+  for (int64_t i = 0; i < n_chains; i++) {
+    int64_t y = scratch_nodes[order[i]] / sxe;
+    if (y != prev_y) { num_y++; prev_y = y; }
+  }
+  uint64_t index_size = yw + (uint64_t)num_y * (yw + xw);
+  for (int64_t i = 0; i < n_chains; i++) index_size += xw;
+  int64_t total_cps = cp_off[n_chains];
+  int64_t code_len = 4 + (int64_t)index_size + (total_cps + 3) / 4;
+  if (code_len > code_cap) return -1;
+
+  uint8_t* w = out_code;
+  auto put = [&](uint64_t v, int width) {
+    for (int i = 0; i < width; i++) { *w++ = (uint8_t)(v & 0xFF); v >>= 8; }
+  };
+  put(index_size, 4);
+  put((uint64_t)num_y, yw);
+  prev_y = 0;
+  int64_t i = 0;
+  bool first_row = true;
+  while (i < n_chains) {
+    int64_t y = scratch_nodes[order[i]] / sxe;
+    int64_t j = i;
+    while (j < n_chains && scratch_nodes[order[j]] / sxe == y) j++;
+    put((uint64_t)(first_row ? y : y - prev_y), yw);
+    first_row = false;
+    prev_y = y;
+    put((uint64_t)(j - i), xw);
+    int64_t last_x = 0;
+    for (int64_t k = i; k < j; k++) {
+      int64_t x = scratch_nodes[order[k]] - sxe * y;
+      put((uint64_t)(x - last_x), xw);
+      last_x = x;
+    }
+    i = j;
+  }
+
+  // diff-code mod 4 across the concatenated chains, pack 4/byte
+  uint8_t last_cp = 0;
+  uint8_t enc = 0;
+  int pos = 0;
+  for (int64_t c = 0; c < n_chains; c++) {
+    const uint8_t* cps = scratch_cps + cp_off[order[c]];
+    int64_t len = scratch_cp_lens[order[c]];
+    for (int64_t k = 0; k < len; k++) {
+      uint8_t d = (uint8_t)((cps[k] - last_cp) & 0b11);
+      last_cp = cps[k];
+      enc |= (uint8_t)(d << pos);
+      pos += 2;
+      if (pos == 8) { *w++ = enc; enc = 0; pos = 0; }
+    }
+  }
+  if (pos > 0) *w++ = enc;
+
+  // first-visit CCL + per-component source label
+  int64_t n = crackle_ccl_slice(labels, label_width, sx, sy, out_cc);
+  if (n < 0) return -2;
+  *out_n = n;
+  {
+    int64_t seen = 0;
+    #define MAP(T) do { \
+      const T* L = reinterpret_cast<const T*>(labels); \
+      for (int64_t v = 0; v < sx * sy && seen < n; v++) { \
+        if ((int64_t)out_cc[v] == seen) { \
+          out_mapping[seen++] = (uint64_t)L[v]; \
+        } \
+      } \
+    } while (0)
+    switch (label_width) {
+      case 1: MAP(uint8_t); break;
+      case 2: MAP(uint16_t); break;
+      case 4: MAP(uint32_t); break;
+      case 8: MAP(uint64_t); break;
+      default: return -2;
+    }
+    #undef MAP
+  }
+  return w - out_code;
 }
 
 // Union-find 4-connected CCL of one slice with first-visit raster

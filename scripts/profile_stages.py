@@ -6,6 +6,8 @@ no-op over the axon tunnel)."""
 import sys
 import time
 
+sys.setrecursionlimit(100000)
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -71,6 +73,20 @@ def timeit(name, fn, *args, iters=10):
   return out
 
 
+
+
+class _NoX64:
+  def __enter__(self):
+    self.ctx = jax.enable_x64(False)
+    self.ctx.__enter__()
+  def __exit__(self, *a):
+    self.ctx.__exit__(*a)
+
+
+def timeit32(name, fn, *args, iters=10):
+  with jax.enable_x64(False):
+    return timeit(name, fn, *args, iters=iters)
+
 # full fused pipeline
 timeit("full plant pipeline", lambda: _dec.decode_slices_full_plant(
   packed, nbytes, nodes, n_chains, Tj, sx=sx, sy=sy,
@@ -126,7 +142,10 @@ def p1_fn(pk, nb, nc):
   return keys
 
 
-keys_out = timeit("P1 keys kernel", p1_fn, packed, nbytes, n_chains)
+keys_out = timeit32("P1 keys kernel", p1_fn, packed, nbytes, n_chains)
 
 sort_fn = jax.jit(lambda k: jnp.sort(k.reshape(B, CAP), axis=1))
-timeit("XLA sort", sort_fn, keys_out)
+skeys_out = timeit("XLA sort (keys)", sort_fn, keys_out)
+
+# (P2+P3 are now fused into one kernel; time it via the vcg path
+# minus P1+sort, or extend here when needed.)
