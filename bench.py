@@ -148,9 +148,10 @@ def main():
   print(f"decode with per-window h2d: {best_h2d * 1e3:.1f} ms/window "
         f"({voxels / best_h2d / 1e6:.1f} MVx/s)", file=sys.stderr)
 
-  # correctness (decode-to-host path, includes crc checks)
+  # correctness (decode-to-host path, includes crc checks; auto
+  # engine: host-destination decodes route to the native decoder)
   t0 = time.perf_counter()
-  out = engine.decode_window(binary, 0, sz)
+  out = crackle.decompress(binary)
   host_dt = time.perf_counter() - t0
   stream_vol = np.asarray(labels).astype(vol.dtype) \
     .reshape(sz, SHAPE[1], SHAPE[0]).transpose(2, 1, 0)

@@ -476,24 +476,41 @@ def _decode_slice_ccl(code: bytes, head: CrackleHeader, markov_model,
 
 def _full_decode(binary: bytes, z_start: int, z_end: int,
                  label: Optional[int] = None) -> np.ndarray:
-  """Decode of a z window (crackle.hpp decompress parity). Routes to
-  the JAX/TPU engine when enabled and the stream is eligible, else to
-  the native C++ decoder, else the vectorized numpy path."""
-  if _jax_engine_enabled():
-    from .kernels import engine as _engine
-    out = _engine.decode_window(binary, z_start, z_end, label=label)
-    if out is not None:
-      return out
+  """Decode of a z window (crackle.hpp decompress parity).
+
+  The destination here is HOST memory, so in auto mode the native C++
+  stream decoder goes first — it produces the array in place with
+  crcs checked, with no device round trip (the TPU engine would decode
+  in HBM and then pay a device->host transfer of the raw volume; it
+  serves the device-resident consumption path, engine.DeviceStream).
+  set_engine('jax') still forces the device path, and pins/markov/
+  label-query streams the native decoder rejects fall through to it.
+  """
   head = header(binary)
-  if label is None and head.label_format == LabelFormat.FLAT:
+
+  def _native():
+    if label is not None or head.label_format != LabelFormat.FLAT:
+      return None
     from . import native
     try:
-      out = native.decompress_stream(
+      return native.decompress_stream(
         binary, z_start, z_end, (head.sx, head.sy, head.sz),
         head.data_width, head.fortran_order,
       )
     except ValueError as e:
       raise FormatError(str(e))
+
+  if _ENGINE != 'jax':
+    out = _native()
+    if out is not None:
+      return out
+  if _jax_engine_enabled():
+    from .kernels import engine as _engine
+    out = _engine.decode_window(binary, z_start, z_end, label=label)
+    if out is not None:
+      return out
+  if _ENGINE == 'jax':
+    out = _native()
     if out is not None:
       return out
   sx, sy = head.sx, head.sy

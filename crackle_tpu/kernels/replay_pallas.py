@@ -229,80 +229,49 @@ def _floor_div(a, d):
 
 
 PAINT_W = 16   # paint scatter: bin-row window height per matmul
-CANCEL_W = 8   # cancel scatter: bin-row window height per matmul
 PAINT_LO = 512
 
 
-def _win_scatter(io_scr, plane, lim_ref, lim0, acc_scr, *, R, W, LO,
-                 n_hi, weights_planes=None):
-  """Windowed scatter-accumulate via one-hot matmuls on the MXU.
+def _paint_scatter_sorted(ids_ref, lim_ref, acc_scr, *, R, W, LO,
+                          n_hi):
+  """Sorted-window presence scatter via one-hot matmuls on the MXU.
 
-  Entries live in plane `plane` of io_scr as a (R, 128) grid of bin
-  ids (hi = id // LO, lo = id % LO; id < 0 = skip). Each 128-entry
-  chunk's bins span a narrow row window (chunk entries are
-  consecutive crack-code moves, which walk adjacent pixels): per
-  chunk, W-row one-hot matmuls accumulate into acc_scr at dynamic row
-  offsets (multiples of W for sublane alignment). Window bounds come
-  precomputed from XLA through SMEM (lim_ref rows lim0 = first W-row
-  window index, lim0+1 = window count; count <= 0 skips the chunk) —
-  scalar reductions inside the loop stall the VPU pipeline, so they
-  are hoisted out of the kernel entirely.
-
-  weights_planes: optional (plane_h, plane_v) pair — folds the two
-  weight channels into the hi-one-hot (A rows stacked [h; v]) and
-  accumulates them side by side at columns [0, LO) and [LO, 2*LO).
-  Without it, scatters presence (weight 1) into [0, LO).
-  """
+  ids_ref holds a (R, 128) grid of SORTED bin ids (hi = id // LO,
+  lo = id % LO); pad entries carry bin n_hi * LO and land in the
+  scratch pad rows past the raster. Because the ids are sorted, each
+  128-entry chunk spans a handful of W-row windows [bq, bq+nsub)
+  (indices precomputed in XLA from the chunk's first/last element and
+  fed through SMEM — in-kernel scalar reductions stall the VPU
+  pipeline). Each window is one (W, 128)@(128, LO) one-hot matmul
+  accumulated at a dynamic row offset that is always a multiple of W
+  (sublane alignment)."""
   C = LANES
   shift = int(np.log2(LO))
   iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
   iota_lo = jax.lax.broadcasted_iota(jnp.int32, (LO, C), 0)
 
   def chunk(j, carry):
-    row = io_scr[plane, pl.ds(j, 1), :]  # (1, C) bin ids
-    valid = row >= 0
+    row = ids_ref[0, pl.ds(j, 1), :]  # (1, C) sorted bin ids
     hi = row >> shift
     lo = row & (LO - 1)
-    bq = lim_ref[0, lim0, j]
-    nsub = lim_ref[0, lim0 + 1, j]
+    bq = lim_ref[0, 0, j]
+    nsub = lim_ref[0, 1, j]
 
     lob = jax.lax.broadcast_in_dim(lo, (LO, C), (0, 1))
     Blo = jnp.where(lob == iota_lo, jnp.float32(1), jnp.float32(0)) \
       .astype(jnp.bfloat16)
-    # invalid entries: park hi outside every window so their A row
-    # contribution is all-zero
-    hib = jax.lax.broadcast_in_dim(
-      jnp.where(valid, hi, n_hi + 2 * W), (W, C), (0, 1))
-    if weights_planes is not None:
-      wh = io_scr[weights_planes[0], pl.ds(j, 1), :] \
-        .astype(jnp.float32)
-      wv = io_scr[weights_planes[1], pl.ds(j, 1), :] \
-        .astype(jnp.float32)
-      whb = jax.lax.broadcast_in_dim(wh, (W, C), (0, 1))
-      wvb = jax.lax.broadcast_in_dim(wv, (W, C), (0, 1))
+    hib = jax.lax.broadcast_in_dim(hi, (W, C), (0, 1))
 
     def sub(w, c2):
       start = (bq + w) * W
       rel = hib - start
-      A = jnp.where(rel == iota_w, jnp.float32(1), jnp.float32(0))
-      if weights_planes is None:
-        part = jax.lax.dot_general(
-          A.astype(jnp.bfloat16), Blo, (((1,), (1,)), ((), ())),
-          preferred_element_type=jnp.float32,
-        )  # (W, LO)
-        acc_scr[pl.ds(start, W), 0:LO] = \
-          acc_scr[pl.ds(start, W), 0:LO] + part
-      else:
-        A2 = jnp.concatenate(
-          [A * whb, A * wvb], axis=0).astype(jnp.bfloat16)
-        part = jax.lax.dot_general(
-          A2, Blo, (((1,), (1,)), ((), ())),
-          preferred_element_type=jnp.float32,
-        )  # (2W, LO)
-        acc_scr[pl.ds(start, W), 0:LO] = \
-          acc_scr[pl.ds(start, W), 0:LO] + part[0:W]
-        acc_scr[pl.ds(start, W), LO:2 * LO] = \
-          acc_scr[pl.ds(start, W), LO:2 * LO] + part[W:2 * W]
+      A = jnp.where(rel == iota_w, jnp.float32(1), jnp.float32(0)) \
+        .astype(jnp.bfloat16)
+      part = jax.lax.dot_general(
+        A, Blo, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+      )  # (W, LO)
+      acc_scr[pl.ds(start, W), :] = acc_scr[pl.ds(start, W), :] + part
       return c2
 
     jax.lax.fori_loop(0, nsub, sub, 0)
@@ -311,29 +280,13 @@ def _win_scatter(io_scr, plane, lim_ref, lim0, acc_scr, *, R, W, LO,
   jax.lax.fori_loop(0, R, chunk, 0)
 
 
-def _chunk_lims(ids, LO, W, n_hi):
-  """XLA: per-128-chunk W-row window (index, count) of valid bin ids.
-
-  ids: (B, R, 128) int32, negative = pad. Returns (B, 2, R) int32."""
-  valid = ids >= 0
-  hi = ids >> int(np.log2(LO))
-  hmin = jnp.min(jnp.where(valid, hi, n_hi + W), axis=2)
-  hmax = jnp.max(jnp.where(valid, hi, -1), axis=2)
-  logw = int(np.log2(W))
-  bq = hmin >> logw
-  nsub = (hmax >> logw) - bq + 1  # <= 0 when the chunk is all-pad
-  return jnp.stack([bq, nsub], axis=1).astype(jnp.int32)
-
-
-def _replay_kernel(cls_ref, meta_ref, nodes_ref, tgt_ref, wh_ref,
-                   wv_ref, limc_ref, vhidx_ref, acc_scr, io_scr, *,
+def _replay_kernel(cls_ref, meta_ref, nodes_ref, skeys_ref,
+                   vhidx_ref, acc_scr, io_scr, *,
                    CAP, CAP_CH, sx, sy, HI2):
-  """P2: scope cancellation (windowed one-hot matmul scatter into the
-  CAP-bin position accumulator) -> position replay -> edge bin ids in
-  the interleaved V/H paint layout. The scope matching itself
-  (nextclose over the sorted keys) runs in XLA — it is pure scans, and
-  hoisting it lets XLA also precompute the scatter window limits
-  (in-kernel scalar reductions stall the VPU pipeline)."""
+  """P2: sorted keys -> next-close scope matching (flat scans) ->
+  scope-cancellation scatter (one-hot matmuls over the CAP-bin
+  position grid, weights folded into the hi-one-hot) -> position
+  replay -> edge bin ids in the interleaved V/H paint layout."""
   C = LANES
   R = CAP // C
   sxe = sx + 1
@@ -343,13 +296,69 @@ def _replay_kernel(cls_ref, meta_ref, nodes_ref, tgt_ref, wh_ref,
   mv = (clsv >> 2) & 1
   chain_of = clsv >> 3
 
-  # --- cancel scatter (bins = the (R, 128) position grid itself) ---
-  acc_scr[:, :] = jnp.zeros((R + CANCEL_W, 2 * C), jnp.float32)
-  io_scr[0] = tgt_ref[0]
-  io_scr[1] = wh_ref[0]
-  io_scr[2] = wv_ref[0]
-  _win_scatter(io_scr, 0, limc_ref, 0, acc_scr, R=R, W=CANCEL_W,
-               LO=C, n_hi=R, weights_planes=(1, 2))
+  # --- sorted space: next close at same depth ---
+  skeys = skeys_ref[0]
+  is_inf = jnp.where(skeys == _I32MAX, 1, 0)
+  cps_s = skeys & 3
+  is_close = ((skeys >> 2) & 1) * (1 - is_inf)
+  body = skeys >> 3
+  depth_s = body >> int(np.log2(CAP))
+  pos_s = body & (CAP - 1)
+
+  seg_last = jnp.where(
+    (depth_s != _flat_shift_left(depth_s, -1)) | (is_inf > 0), 1, 0)
+  setf = jnp.minimum(is_close + seg_last, 1)
+  e = jnp.where(setf > 0, jnp.where(is_close > 0, pos_s, CAP), -1)
+  nextclose = _flat_scan(e, _op_firstset, -1, reverse=True)
+  nextclose = jnp.where(nextclose < 0, CAP, nextclose)
+
+  move_s = (1 - is_inf) * (1 - is_close)
+  w_h = (jnp.where(cps_s == 3, 1, 0) - jnp.where(cps_s == 1, 1, 0)) \
+      * move_s
+  w_v = (jnp.where(cps_s == 0, 1, 0) - jnp.where(cps_s == 2, 1, 0)) \
+      * move_s
+  tgt = jnp.where((move_s > 0) & (nextclose < CAP), nextclose, -1)
+
+  # --- cancel scatter as chunked one-hot matmuls over all CAP bins
+  # (bins = the (R, 128) position grid itself: hi = row, lo = lane).
+  # The two weight channels fold into the hi-one-hot — invalid
+  # entries (t_hi = -1) match no bin row and drop for free.
+  t_hi = jnp.where(tgt < 0, -1, tgt >> 7)
+  t_lo = tgt & (C - 1)
+  iota_hi_c = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+  iota_lo_c = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+
+  acc_scr[:, :] = jnp.zeros((R, 2 * C), jnp.float32)
+  io_scr[0] = t_hi
+  io_scr[1] = t_lo
+  io_scr[2] = w_h
+  io_scr[3] = w_v
+
+  def cancel_chunk(i, carry):
+    hrow = io_scr[0, pl.ds(i, 1), :]
+    hb = jax.lax.broadcast_in_dim(hrow, (R, C), (0, 1))
+    A = jnp.where(hb == iota_hi_c, 1, 0)
+    whb = jax.lax.broadcast_in_dim(
+      io_scr[2, pl.ds(i, 1), :], (R, C), (0, 1))
+    wvb = jax.lax.broadcast_in_dim(
+      io_scr[3, pl.ds(i, 1), :], (R, C), (0, 1))
+    lb = jax.lax.broadcast_in_dim(
+      io_scr[1, pl.ds(i, 1), :], (C, C), (0, 1))
+    Blo = jnp.where(lb == iota_lo_c, jnp.float32(1), jnp.float32(0)) \
+      .astype(jnp.bfloat16)
+    Ah = (A * whb).astype(jnp.bfloat16)
+    Av = (A * wvb).astype(jnp.bfloat16)
+    ph = jax.lax.dot_general(
+      Ah, Blo, (((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.float32)  # (R, C)
+    pv = jax.lax.dot_general(
+      Av, Blo, (((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.float32)
+    acc_scr[0:R, 0:C] = acc_scr[0:R, 0:C] + ph
+    acc_scr[0:R, C:2 * C] = acc_scr[0:R, C:2 * C] + pv
+    return carry
+
+  jax.lax.fori_loop(0, R, cancel_chunk, 0)
   cancel_h = acc_scr[0:R, 0:C].astype(jnp.int32)
   cancel_v = acc_scr[0:R, C:2 * C].astype(jnp.int32)
 
@@ -373,8 +382,7 @@ def _replay_kernel(cls_ref, meta_ref, nodes_ref, tgt_ref, wh_ref,
   pos_before = pos_after + base * mv - deltas
 
   # --- edge bin ids in the interleaved V/H layout ---
-  # bin row 2*py = V edges of dual row py, 2*py+1 = H edges of py, so
-  # a chunk mixing edge kinds still lands in one narrow window
+  # bin row 2*py = V edges of dual row py, 2*py+1 = H edges of py
   py = _floor_div(pos_before, sxe)
   px = pos_before - py * sxe
   LO = PAINT_LO
@@ -389,16 +397,15 @@ def _replay_kernel(cls_ref, meta_ref, nodes_ref, tgt_ref, wh_ref,
   vhidx_ref[0] = vh_idx
 
 
-def _paint_vcg_kernel(vhidx_ref, limp_ref, vcg_ref, paint_scr, *,
+def _paint_vcg_kernel(svh_ref, limp_ref, vcg_ref, paint_scr, *,
                       R, sx, sy, HI2):
-  """P3: edge presence scatter (windowed one-hot matmuls) + in-kernel
-  4-bit VCG assembly from the interleaved V/H raster."""
+  """P3: sorted edge-presence scatter + in-kernel 4-bit VCG assembly
+  from the interleaved V/H raster."""
   LO = PAINT_LO
   paint_scr[:, :] = jnp.zeros((HI2 + PAINT_W, LO), jnp.float32)
-  _win_scatter(vhidx_ref, 0, limp_ref, 0, paint_scr, R=R, W=PAINT_W,
-               LO=LO, n_hi=HI2)
+  _paint_scatter_sorted(svh_ref, limp_ref, paint_scr, R=R,
+                        W=PAINT_W, LO=LO, n_hi=HI2)
 
-  # --- assemble the 4-bit VCG in-kernel ---
   # interleaved rows: 2y = V edges of dual row y, 2y+1 = H edges.
   # vcg[y, x] = V[y, x+1] | V[y, x]<<1 | H[y+1, x]<<2 | H[y, x]<<3
   pres = jnp.where(paint_scr[0:HI2, :] > 0, 1, 0)  # (HI2, LO) int32
@@ -487,39 +494,8 @@ def replay_vcg_traced(packed, nbytes, nodes, n_chains, sx, sy,
       interpret=INTERPRET,
     )(diffs, meta)
 
-    skeys = jnp.sort(keys.reshape(B, CAP), axis=1)
-
-    # scope matching in XLA (pure scans): next close at same depth,
-    # per-move cancel weights, and the scatter window limits
-    is_inf = skeys == _I32MAX
-    cps_s = (skeys & 3).astype(jnp.int32)
-    is_close = ((skeys >> 2) & 1).astype(jnp.bool_) & ~is_inf
-    body = skeys >> 3
-    depth_s = (body // CAP).astype(jnp.int32)
-    pos_s = (body % CAP).astype(jnp.int32)
-
-    from .decode import _shift_left
-    seg_last = (depth_s != _shift_left(depth_s, -1)) | is_inf
-    setf = is_close | seg_last
-    e = jnp.where(setf, jnp.where(is_close, pos_s, CAP), -1)
-
-    def comb(a, bb):
-      return jnp.where(bb < 0, a, bb)
-
-    nextclose = jax.lax.associative_scan(
-      comb, e[:, ::-1], axis=1)[:, ::-1]
-    nextclose = jnp.where(nextclose < 0, CAP, nextclose)
-
-    move_s = ~is_inf & ~is_close
-    w_h = (jnp.where(move_s & (cps_s == 3), 1, 0)
-           - jnp.where(move_s & (cps_s == 1), 1, 0))
-    w_v = (jnp.where(move_s & (cps_s == 0), 1, 0)
-           - jnp.where(move_s & (cps_s == 2), 1, 0))
-    tgt = jnp.where(move_s & (nextclose < CAP), nextclose, -1) \
+    skeys = jnp.sort(keys.reshape(B, CAP), axis=1) \
       .reshape(B, R, LANES)
-    w_h = w_h.reshape(B, R, LANES)
-    w_v = w_v.reshape(B, R, LANES)
-    lims_c = _chunk_lims(tgt, LANES, CANCEL_W, R)
 
     vhidx = pl.pallas_call(
       functools.partial(
@@ -536,24 +512,32 @@ def replay_vcg_traced(packed, nbytes, nodes, n_chains, sx, sy,
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 2, R), lambda i: (i, 0, 0),
-                     memory_space=pltpu.SMEM),
       ],
       out_specs=pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
       out_shape=jax.ShapeDtypeStruct((B, R, LANES), jnp.int32),
       scratch_shapes=[
-        pltpu.VMEM((R + CANCEL_W, 2 * LANES), jnp.float32),
-        pltpu.VMEM((3, R, LANES), jnp.int32),
+        pltpu.VMEM((R, 2 * LANES), jnp.float32),
+        pltpu.VMEM((4, R, LANES), jnp.int32),
       ],
       interpret=INTERPRET,
-    )(cls, meta, nodes_, tgt, w_h, w_v, lims_c)
+    )(cls, meta, nodes_, skeys)
 
-    lims_p = _chunk_lims(vhidx, PAINT_LO, PAINT_W, HI2)
+    # sort edge bin ids per slice; pads / out-of-raster moves become
+    # bin HI2*LO and land in the scratch pad rows past the raster.
+    # Sorted chunks span 1-2 W-row windows (vs ~4-5 unsorted: chunks
+    # crossing branch-scope boundaries jump across the raster), and
+    # the window limits fall out of each chunk's first/last element.
+    W = PAINT_W
+    LO = PAINT_LO
+    logw = int(np.log2(W))
+    vflat = vhidx.reshape(B, CAP)
+    svh = jnp.where(vflat < 0, HI2 * LO, vflat)
+    svh = jnp.sort(svh, axis=1).reshape(B, R, LANES)
+    bq = jnp.minimum(svh[:, :, 0] >> int(np.log2(LO)), HI2) >> logw
+    lq = jnp.minimum(svh[:, :, LANES - 1] >> int(np.log2(LO)), HI2) \
+      >> logw
+    lims_p = jnp.stack([bq, lq - bq + 1], axis=1).astype(jnp.int32)
 
     vcg = pl.pallas_call(
       functools.partial(
@@ -573,7 +557,7 @@ def replay_vcg_traced(packed, nbytes, nodes, n_chains, sx, sy,
         pltpu.VMEM((HI2 + PAINT_W, PAINT_LO), jnp.float32),
       ],
       interpret=INTERPRET,
-    )(vhidx, lims_p)
+    )(svh, lims_p)
 
   vcg = vcg.reshape(B, sy * sx).astype(jnp.uint8)
   if not permissible:

@@ -147,5 +147,113 @@ keys_out = timeit32("P1 keys kernel", p1_fn, packed, nbytes, n_chains)
 sort_fn = jax.jit(lambda k: jnp.sort(k.reshape(B, CAP), axis=1))
 skeys_out = timeit("XLA sort (keys)", sort_fn, keys_out)
 
-# (P2+P3 are now fused into one kernel; time it via the vcg path
-# minus P1+sort, or extend here when needed.)
+# P2 / P3 in isolation
+import functools
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CAP_CH = nodes.shape[1]
+HI2 = 2 * (sy + 1)
+
+
+@jax.jit
+def p1_and_sort(pk, nb, nc):
+  b = pk.astype(jnp.uint8)
+  diffs = jnp.stack(
+    [b & 3, (b >> 2) & 3, (b >> 4) & 3, (b >> 6) & 3], axis=2
+  ).reshape(B, R, 128)
+  meta = jnp.stack([nb.astype(jnp.int32), nc.astype(jnp.int32)],
+                   axis=1)[:, None, :]
+  keys, cls = pl.pallas_call(
+    functools.partial(replay_pallas._keys_kernel, CAP=CAP),
+    grid=(B,),
+    in_specs=[
+      pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
+                   memory_space=pltpu.SMEM),
+    ],
+    out_specs=[
+      pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0),
+                   memory_space=pltpu.VMEM),
+    ],
+    out_shape=[
+      jax.ShapeDtypeStruct((B, R, 128), jnp.int32),
+      jax.ShapeDtypeStruct((B, R, 128), jnp.int32),
+    ],
+  )(diffs, meta)
+  return (jnp.sort(keys.reshape(B, CAP), axis=1).reshape(B, R, 128),
+          cls, meta)
+
+
+@jax.jit
+def p2_only(cls, meta, nds, skeys):
+  return pl.pallas_call(
+    functools.partial(replay_pallas._replay_kernel, CAP=CAP,
+                      CAP_CH=CAP_CH, sx=sx, sy=sy, HI2=HI2),
+    grid=(B,),
+    in_specs=[
+      pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
+                   memory_space=pltpu.SMEM),
+      pl.BlockSpec((1, 1, CAP_CH), lambda i: (i, 0, 0),
+                   memory_space=pltpu.SMEM),
+      pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0),
+                   memory_space=pltpu.VMEM),
+    ],
+    out_specs=pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM),
+    out_shape=jax.ShapeDtypeStruct((B, R, 128), jnp.int32),
+    scratch_shapes=[
+      pltpu.VMEM((R, 2 * 128), jnp.float32),
+      pltpu.VMEM((4, R, 128), jnp.int32),
+    ],
+  )(cls, meta, nds, skeys)
+
+
+LO = replay_pallas.PAINT_LO
+W = replay_pallas.PAINT_W
+
+
+@jax.jit
+def sort_and_lims(vhidx):
+  logw = int(np.log2(W))
+  vflat = vhidx.reshape(B, CAP)
+  svh = jnp.where(vflat < 0, HI2 * LO, vflat)
+  svh = jnp.sort(svh, axis=1).reshape(B, R, 128)
+  bq = jnp.minimum(svh[:, :, 0] >> int(np.log2(LO)), HI2) >> logw
+  lq = jnp.minimum(svh[:, :, 127] >> int(np.log2(LO)), HI2) >> logw
+  return svh, jnp.stack([bq, lq - bq + 1], axis=1).astype(jnp.int32)
+
+
+@jax.jit
+def p3_only(svh, lims_p):
+  return pl.pallas_call(
+    functools.partial(replay_pallas._paint_vcg_kernel, R=R, sx=sx,
+                      sy=sy, HI2=HI2),
+    grid=(B,),
+    in_specs=[
+      pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((1, 2, R), lambda i: (i, 0, 0),
+                   memory_space=pltpu.SMEM),
+    ],
+    out_specs=pl.BlockSpec((1, sy, sx), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM),
+    out_shape=jax.ShapeDtypeStruct((B, sy, sx), jnp.int32),
+    scratch_shapes=[
+      pltpu.VMEM((HI2 + W, LO), jnp.float32),
+    ],
+  )(svh, lims_p)
+
+
+with jax.enable_x64(False):
+  skeys_j, cls_j, meta_j = p1_and_sort(packed, nbytes, n_chains)
+  nodes_j = nodes.astype(jnp.int32)[:, None, :]
+  vhidx_j = timeit("P2 kernel", p2_only, cls_j, meta_j, nodes_j,
+                   skeys_j)
+  svh_j, limp_j = timeit("sort edges + lims", sort_and_lims, vhidx_j)
+  timeit("P3 kernel", p3_only, svh_j, limp_j)
