@@ -307,7 +307,7 @@ class DeviceStream:
   to the per-window h2d path)."""
 
   def __init__(self, head, packed, nbytes, nodes, n_chains, T,
-               permissible: bool):
+               permissible: bool, crcs=None):
     self.head = head
     self.packed = packed
     self.nbytes = nbytes
@@ -315,6 +315,7 @@ class DeviceStream:
     self.n_chains = n_chains
     self.T = T
     self.permissible = permissible
+    self.crcs = crcs  # (sz,) uint32 stored per-slice crack crc32cs
 
   @property
   def nbytes_device(self) -> int:
@@ -322,15 +323,33 @@ class DeviceStream:
                (self.packed, self.nbytes, self.nodes, self.n_chains,
                 self.T))
 
-  def decode_window(self, z_start: int, z_end: int):
+  def decode_window(self, z_start: int, z_end: int,
+                    check_crcs: bool = False):
     """Decode [z_start, z_end) from HBM. Returns (labels, cc, N) —
-    all device-resident, no host round trip."""
+    all device-resident, no host round trip.
+
+    check_crcs=True additionally verifies the per-slice crack CRC32Cs
+    ON DEVICE (kernels/crc32c_tpu.py: CRC as bit-linear MXU matmuls
+    against the stored words uploaded with the stream) and raises
+    FormatError on mismatch — integrity-checked serving with no
+    device->host transfer of the decoded volume."""
     labels, cc, N = _dec.decode_slices_full_plant(
       self.packed[z_start:z_end], self.nbytes[z_start:z_end],
       self.nodes[z_start:z_end], self.n_chains[z_start:z_end],
       self.T[z_start:z_end],
       sx=self.head.sx, sy=self.head.sy, permissible=self.permissible,
     )
+    if check_crcs and self.crcs is not None:
+      from . import crc32c_tpu
+      got = crc32c_tpu.crc32c_device(cc)
+      bad = jnp.flatnonzero(
+        got != self.crcs[z_start:z_end], size=1, fill_value=-1)[0]
+      bad = int(np.asarray(bad))
+      if bad >= 0:
+        from ..headers import FormatError
+        raise FormatError(
+          f"crackle: crack code crc mismatch on z={z_start + bad}"
+        )
     return labels, cc, N
 
 
@@ -362,12 +381,18 @@ def upload_stream(binary: bytes) -> Optional[DeviceStream]:
     np.concatenate([p, np.zeros(cap_n, np.int32)])[idx]
     for p in planes
   ], axis=1)  # (sz, K, cap_n)
+  crcs = None
+  if head.format_version > 0:
+    stored = _codec.crack_crcs(binary)
+    if stored is not None:
+      crcs = jnp.asarray(np.asarray(stored, dtype='<u4'))
   return DeviceStream(
     head,
     jnp.asarray(inputs["packed"]), jnp.asarray(inputs["nbytes"]),
     jnp.asarray(inputs["nodes"]), jnp.asarray(inputs["n_chains"]),
     jnp.asarray(T),
     permissible=head.crack_format == CrackFormat.PERMISSIBLE,
+    crcs=crcs,
   )
 
 

@@ -233,51 +233,55 @@ PAINT_LO = 512
 
 
 def _paint_scatter_sorted(ids_ref, lim_ref, acc_scr, *, R, W, LO,
-                          n_hi):
+                          n_hi, G):
   """Sorted-window presence scatter via one-hot matmuls on the MXU.
 
   ids_ref holds a (R, 128) grid of SORTED bin ids (hi = id // LO,
   lo = id % LO); pad entries carry bin n_hi * LO and land in the
-  scratch pad rows past the raster. Because the ids are sorted, each
-  128-entry chunk spans a handful of W-row windows [bq, bq+nsub)
-  (indices precomputed in XLA from the chunk's first/last element and
-  fed through SMEM — in-kernel scalar reductions stall the VPU
-  pipeline). Each window is one (W, 128)@(128, LO) one-hot matmul
-  accumulated at a dynamic row offset that is always a multiple of W
-  (sublane alignment)."""
+  scratch pad rows past the raster. Because the ids are sorted, a
+  G*128-entry group spans a handful of W-row windows [bq, bq+nsub)
+  (precomputed in XLA from the group's first/last element and fed
+  through SMEM — in-kernel scalar reductions stall the VPU pipeline).
+  Per window, G one-hot matmuls accumulate into a register partial and
+  hit the scratch accumulator ONCE at a dynamic row offset (a multiple
+  of W for sublane alignment): grouping amortizes the ~100-cycle cost
+  each dynamic-offset access carries."""
   C = LANES
   shift = int(np.log2(LO))
   iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
   iota_lo = jax.lax.broadcasted_iota(jnp.int32, (LO, C), 0)
 
-  def chunk(j, carry):
-    row = ids_ref[0, pl.ds(j, 1), :]  # (1, C) sorted bin ids
-    hi = row >> shift
-    lo = row & (LO - 1)
+  def group(j, carry):
+    his = []
+    Blos = []
+    for g in range(G):
+      row = ids_ref[0, pl.ds(j * G + g, 1), :]  # (1, C) sorted ids
+      his.append(jax.lax.broadcast_in_dim(row >> shift, (W, C),
+                                          (0, 1)))
+      lob = jax.lax.broadcast_in_dim(row & (LO - 1), (LO, C), (0, 1))
+      Blos.append(
+        jnp.where(lob == iota_lo, jnp.float32(1), jnp.float32(0))
+        .astype(jnp.bfloat16))
     bq = lim_ref[0, 0, j]
     nsub = lim_ref[0, 1, j]
 
-    lob = jax.lax.broadcast_in_dim(lo, (LO, C), (0, 1))
-    Blo = jnp.where(lob == iota_lo, jnp.float32(1), jnp.float32(0)) \
-      .astype(jnp.bfloat16)
-    hib = jax.lax.broadcast_in_dim(hi, (W, C), (0, 1))
-
     def sub(w, c2):
       start = (bq + w) * W
-      rel = hib - start
-      A = jnp.where(rel == iota_w, jnp.float32(1), jnp.float32(0)) \
-        .astype(jnp.bfloat16)
-      part = jax.lax.dot_general(
-        A, Blo, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-      )  # (W, LO)
+      part = jnp.zeros((W, LO), jnp.float32)
+      for g in range(G):
+        A = jnp.where(his[g] - start == iota_w, jnp.float32(1),
+                      jnp.float32(0)).astype(jnp.bfloat16)
+        part = part + jax.lax.dot_general(
+          A, Blos[g], (((1,), (1,)), ((), ())),
+          preferred_element_type=jnp.float32,
+        )
       acc_scr[pl.ds(start, W), :] = acc_scr[pl.ds(start, W), :] + part
       return c2
 
     jax.lax.fori_loop(0, nsub, sub, 0)
     return carry
 
-  jax.lax.fori_loop(0, R, chunk, 0)
+  jax.lax.fori_loop(0, R // G, group, 0)
 
 
 def _replay_kernel(cls_ref, meta_ref, nodes_ref, skeys_ref,
@@ -334,31 +338,34 @@ def _replay_kernel(cls_ref, meta_ref, nodes_ref, skeys_ref,
   io_scr[2] = w_h
   io_scr[3] = w_v
 
-  def cancel_chunk(i, carry):
-    hrow = io_scr[0, pl.ds(i, 1), :]
-    hb = jax.lax.broadcast_in_dim(hrow, (R, C), (0, 1))
-    A = jnp.where(hb == iota_hi_c, 1, 0)
-    whb = jax.lax.broadcast_in_dim(
-      io_scr[2, pl.ds(i, 1), :], (R, C), (0, 1))
-    wvb = jax.lax.broadcast_in_dim(
-      io_scr[3, pl.ds(i, 1), :], (R, C), (0, 1))
-    lb = jax.lax.broadcast_in_dim(
-      io_scr[1, pl.ds(i, 1), :], (C, C), (0, 1))
-    Blo = jnp.where(lb == iota_lo_c, jnp.float32(1), jnp.float32(0)) \
-      .astype(jnp.bfloat16)
-    Ah = (A * whb).astype(jnp.bfloat16)
-    Av = (A * wvb).astype(jnp.bfloat16)
-    ph = jax.lax.dot_general(
-      Ah, Blo, (((1,), (1,)), ((), ())),
-      preferred_element_type=jnp.float32)  # (R, C)
-    pv = jax.lax.dot_general(
-      Av, Blo, (((1,), (1,)), ((), ())),
-      preferred_element_type=jnp.float32)
+  GC = 4 if R % 4 == 0 else (2 if R % 2 == 0 else 1)
+
+  def cancel_group(i, carry):
+    ph = jnp.zeros((R, C), jnp.float32)
+    pv = jnp.zeros((R, C), jnp.float32)
+    for g in range(GC):
+      hb = jax.lax.broadcast_in_dim(
+        io_scr[0, pl.ds(i * GC + g, 1), :], (R, C), (0, 1))
+      A = jnp.where(hb == iota_hi_c, 1, 0)
+      whb = jax.lax.broadcast_in_dim(
+        io_scr[2, pl.ds(i * GC + g, 1), :], (R, C), (0, 1))
+      wvb = jax.lax.broadcast_in_dim(
+        io_scr[3, pl.ds(i * GC + g, 1), :], (R, C), (0, 1))
+      lb = jax.lax.broadcast_in_dim(
+        io_scr[1, pl.ds(i * GC + g, 1), :], (C, C), (0, 1))
+      Blo = jnp.where(lb == iota_lo_c, jnp.float32(1), jnp.float32(0)) \
+        .astype(jnp.bfloat16)
+      ph = ph + jax.lax.dot_general(
+        (A * whb).astype(jnp.bfloat16), Blo, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+      pv = pv + jax.lax.dot_general(
+        (A * wvb).astype(jnp.bfloat16), Blo, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
     acc_scr[0:R, 0:C] = acc_scr[0:R, 0:C] + ph
     acc_scr[0:R, C:2 * C] = acc_scr[0:R, C:2 * C] + pv
     return carry
 
-  jax.lax.fori_loop(0, R, cancel_chunk, 0)
+  jax.lax.fori_loop(0, R // GC, cancel_group, 0)
   cancel_h = acc_scr[0:R, 0:C].astype(jnp.int32)
   cancel_v = acc_scr[0:R, C:2 * C].astype(jnp.int32)
 
@@ -397,6 +404,10 @@ def _replay_kernel(cls_ref, meta_ref, nodes_ref, skeys_ref,
   vhidx_ref[0] = vh_idx
 
 
+def _paint_group(R):
+  return 4 if R % 4 == 0 else (2 if R % 2 == 0 else 1)
+
+
 def _paint_vcg_kernel(svh_ref, limp_ref, vcg_ref, paint_scr, *,
                       R, sx, sy, HI2):
   """P3: sorted edge-presence scatter + in-kernel 4-bit VCG assembly
@@ -404,7 +415,7 @@ def _paint_vcg_kernel(svh_ref, limp_ref, vcg_ref, paint_scr, *,
   LO = PAINT_LO
   paint_scr[:, :] = jnp.zeros((HI2 + PAINT_W, LO), jnp.float32)
   _paint_scatter_sorted(svh_ref, limp_ref, paint_scr, R=R,
-                        W=PAINT_W, LO=LO, n_hi=HI2)
+                        W=PAINT_W, LO=LO, n_hi=HI2, G=_paint_group(R))
 
   # interleaved rows: 2y = V edges of dual row y, 2y+1 = H edges.
   # vcg[y, x] = V[y, x+1] | V[y, x]<<1 | H[y+1, x]<<2 | H[y, x]<<3
@@ -534,9 +545,13 @@ def replay_vcg_traced(packed, nbytes, nodes, n_chains, sx, sy,
     vflat = vhidx.reshape(B, CAP)
     svh = jnp.where(vflat < 0, HI2 * LO, vflat)
     svh = jnp.sort(svh, axis=1).reshape(B, R, LANES)
-    bq = jnp.minimum(svh[:, :, 0] >> int(np.log2(LO)), HI2) >> logw
-    lq = jnp.minimum(svh[:, :, LANES - 1] >> int(np.log2(LO)), HI2) \
-      >> logw
+    # group-level window limits: a group = G consecutive sorted
+    # chunks, so its window runs from the group's first element to its
+    # last
+    G = _paint_group(R)
+    bq = jnp.minimum(svh[:, 0::G, 0] >> int(np.log2(LO)), HI2) >> logw
+    lq = jnp.minimum(
+      svh[:, G - 1::G, LANES - 1] >> int(np.log2(LO)), HI2) >> logw
     lims_p = jnp.stack([bq, lq - bq + 1], axis=1).astype(jnp.int32)
 
     vcg = pl.pallas_call(
@@ -547,7 +562,7 @@ def replay_vcg_traced(packed, nbytes, nodes, n_chains, sx, sy,
       in_specs=[
         pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 2, R), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, 2, R // G), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
       ],
       out_specs=pl.BlockSpec((1, sy, sx), lambda i: (i, 0, 0),

@@ -191,3 +191,41 @@ def test_device_stream_decode_interpret(monkeypatch):
     got = np.asarray(labels).astype(vol.dtype) \
       .reshape(z1 - z0, 24, 32).transpose(2, 1, 0)
     np.testing.assert_array_equal(got, vol[:, :, z0:z1])
+
+
+def test_device_crc32c_matches_reference():
+  """CRC32C as bit-linear MXU matmuls must equal the byte-serial
+  reference implementation (lib.crc32c / src/crc.hpp semantics)."""
+  from crackle_tpu.kernels import crc32c_tpu
+  from crackle_tpu.lib import crc32c
+  rng = np.random.RandomState(5)
+  for W in (1, 3, 129, 4096):
+    msgs = rng.randint(0, 2 ** 32, size=(4, W), dtype=np.uint32)
+    got = np.asarray(crc32c_tpu.crc32c_device(msgs.view(np.int32)))
+    want = np.array(
+      [crc32c(np.ascontiguousarray(m.astype('<u4'))) for m in msgs],
+      np.uint32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_device_stream_crc_check(monkeypatch):
+  """DeviceStream.decode_window(check_crcs=True) verifies per-slice
+  crack crcs on device and flags corruption."""
+  from crackle_tpu.kernels import ccl_pallas
+  from crackle_tpu.headers import FormatError
+  monkeypatch.setattr(ccl_pallas, "INTERPRET", True)
+  vol = random_volume((32, 24, 4), 7, 21, 4)
+  binary = crackle.compress(vol)
+  stream = engine.upload_stream(binary)
+  assert stream is not None and stream.crcs is not None
+  labels, cc, N = stream.decode_window(0, 4, check_crcs=True)
+  got = np.asarray(labels).astype(vol.dtype) \
+    .reshape(4, 24, 32).transpose(2, 1, 0)
+  np.testing.assert_array_equal(got, vol)
+  # corrupt a stored crc word: the device check must catch it
+  import jax.numpy as jnp
+  bad = np.asarray(stream.crcs).copy()
+  bad[2] ^= 0x1
+  stream.crcs = jnp.asarray(bad)
+  with pytest.raises(FormatError, match="z=2"):
+    stream.decode_window(0, 4, check_crcs=True)
