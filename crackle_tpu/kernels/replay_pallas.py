@@ -505,8 +505,10 @@ def replay_vcg_traced(packed, nbytes, nodes, n_chains, sx, sy,
       interpret=INTERPRET,
     )(diffs, meta)
 
-    skeys = jnp.sort(keys.reshape(B, CAP), axis=1) \
-      .reshape(B, R, LANES)
+    # keys are unique (the stream index rides inside), so an
+    # unstable sort is free speedup (~20% on this chip)
+    skeys = jax.lax.sort(keys.reshape(B, CAP), dimension=1,
+                         is_stable=False).reshape(B, R, LANES)
 
     vhidx = pl.pallas_call(
       functools.partial(
@@ -544,7 +546,8 @@ def replay_vcg_traced(packed, nbytes, nodes, n_chains, sx, sy,
     logw = int(np.log2(W))
     vflat = vhidx.reshape(B, CAP)
     svh = jnp.where(vflat < 0, HI2 * LO, vflat)
-    svh = jnp.sort(svh, axis=1).reshape(B, R, LANES)
+    svh = jax.lax.sort(svh, dimension=1, is_stable=False) \
+      .reshape(B, R, LANES)
     # group-level window limits: a group = G consecutive sorted
     # chunks, so its window runs from the group's first element to its
     # last
