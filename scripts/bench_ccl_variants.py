@@ -134,3 +134,53 @@ run_fixed("fixed 8 sweeps xy", 8)
 run_fixed("fixed 8 sweeps x only", 8, dirs='x')
 run_fixed("fixed 8 sweeps y only", 8, dirs='y')
 run_fixed("fixed 8 sweeps xy transposed-y", 8, transpose_y=True)
+
+
+def run_fixed_batched(name, n_sweeps, SB):
+  """SB slices per grid step: does per-step overhead amortize?"""
+  @jax.jit
+  def fn(v):
+    v2 = v.reshape(B // SB, SB, sy, sx)
+
+    def kern(vcg_ref, cc_ref):
+      for g in range(SB):
+        yy = jax.lax.broadcasted_iota(jnp.int32, (sy, sx), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (sy, sx), 1)
+        vg = vcg_ref[0, g].astype(jnp.int32)
+        one = jnp.ones((sy, sx), jnp.int32)
+        zero = jnp.zeros((sy, sx), jnp.int32)
+        left_ok = jnp.where(((vg & 0b0010) > 0) & (xx > 0), one, zero)
+        up_ok = jnp.where(((vg & 0b1000) > 0) & (yy > 0), one, zero)
+        FBxf = ccl_pallas._pack_flags(1 - left_ok, 1, up=False)
+        FBxb = ccl_pallas._pack_flags(
+          1 - ccl_pallas._roll_up(left_ok, 1, 1, 0), 1, up=True)
+        FByf = ccl_pallas._pack_flags(1 - up_ok, 0, up=False)
+        FByb = ccl_pallas._pack_flags(
+          1 - ccl_pallas._roll_up(up_ok, 1, 0, 0), 0, up=True)
+
+        def sweep(L):
+          L = ccl_pallas._seg_min_fwd_p(L, FBxf, 1)
+          L = ccl_pallas._seg_min_bwd_p(L, FBxb, 1)
+          L = ccl_pallas._seg_min_fwd_p(L, FByf, 0)
+          L = ccl_pallas._seg_min_bwd_p(L, FByb, 0)
+          return L
+
+        L = yy * sx + xx
+        L = jax.lax.fori_loop(0, n_sweeps, lambda i, Lv: sweep(Lv), L)
+        cc_ref[0, g] = L
+
+    return pl.pallas_call(
+      kern,
+      grid=(B // SB,),
+      in_specs=[pl.BlockSpec((1, SB, sy, sx), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)],
+      out_specs=pl.BlockSpec((1, SB, sy, sx), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((B // SB, SB, sy, sx), jnp.int32),
+      interpret=ccl_pallas.INTERPRET,
+    )(v2)
+  timeit(name, fn, vcg)
+
+
+run_fixed_batched("fixed 8 sweeps, 2 slices/step", 8, 2)
+run_fixed_batched("fixed 8 sweeps, 4 slices/step", 8, 4)
