@@ -379,12 +379,24 @@ def decode_slices_to_ccl(packed, nbytes, nodes, n_chains,
 
   Returns (cc_labels (B, sy*sx) int32, N (B,) int32).
   """
-  vcg = decode_slices_to_vcg.__wrapped__(
-    packed, nbytes, nodes, n_chains, sx=sx, sy=sy,
-    permissible=permissible,
-  )
+  vcg = _vcg_for_ccl(packed, nbytes, nodes, n_chains, sx, sy,
+                     permissible)
   from . import ccl_pallas
   return ccl_pallas.ccl_batch(vcg, sx, sy)
+
+
+def _vcg_for_ccl(packed, nbytes, nodes, n_chains, sx, sy,
+                 permissible):
+  """VCG destined for the CCL kernels: the Pallas replay hands over
+  int32 directly (no uint8 cast / xor passes over the window)."""
+  from . import replay_pallas
+  CAP = packed.shape[1] * 4
+  if replay_pallas.use_replay(CAP, nodes.shape[1], sx, sy):
+    v = replay_pallas.replay_vcg_i32_traced(
+      packed, nbytes, nodes, n_chains, sx, sy, permissible)
+    return v.reshape(v.shape[0], sy * sx)
+  return _decode_vcg_batch(packed, nbytes, nodes, n_chains, sx, sy,
+                           permissible)
 
 
 @functools.partial(
@@ -417,10 +429,8 @@ def decode_slices_full_plant(packed, nbytes, nodes, n_chains, T,
   Returns (labels uint32/uint64, cc int32, N int32) — device-resident.
   """
   from . import ccl_pallas
-  vcg = decode_slices_to_vcg.__wrapped__(
-    packed, nbytes, nodes, n_chains, sx=sx, sy=sy,
-    permissible=permissible,
-  )
+  vcg = _vcg_for_ccl(packed, nbytes, nodes, n_chains, sx, sy,
+                     permissible)
   cc, N, painted = ccl_pallas.ccl_paint_traced(vcg, T, sx, sy)
   if T.shape[1] == 2:
     lo = jax.lax.bitcast_convert_type(
@@ -458,10 +468,8 @@ def decode_slices_full_pins(packed, nbytes, nodes, n_chains,
   """
   from . import ccl_pallas
   B = packed.shape[0]
-  vcg = decode_slices_to_vcg.__wrapped__(
-    packed, nbytes, nodes, n_chains, sx=sx, sy=sy,
-    permissible=permissible,
-  )
+  vcg = _vcg_for_ccl(packed, nbytes, nodes, n_chains, sx, sy,
+                     permissible)
   cc, N = ccl_pallas.ccl_batch(vcg, sx, sy)
 
   T = jnp.full((B, cap_n + 1), bg32, jnp.int32)

@@ -409,7 +409,7 @@ def _paint_group(R):
 
 
 def _paint_vcg_kernel(svh_ref, limp_ref, vcg_ref, paint_scr, *,
-                      R, sx, sy, HI2):
+                      R, sx, sy, HI2, permissible):
   """P3: sorted edge-presence scatter + in-kernel 4-bit VCG assembly
   from the interleaved V/H raster."""
   LO = PAINT_LO
@@ -428,6 +428,8 @@ def _paint_vcg_kernel(svh_ref, limp_ref, vcg_ref, paint_scr, *,
   h_dn = _roll_up(H2, 1, 0, 0)[0:sy, :]  # H[y+1, x]
   h_up = H2[0:sy, :]
   vcg = (v_sh | (v_lo << 1) | (h_dn << 2) | (h_up << 3))
+  if not permissible:
+    vcg = vcg ^ 0b1111  # impermissible streams store the complement
   vcg_ref[0] = vcg[:, 0:sx]
 
 
@@ -465,6 +467,16 @@ def replay_vcg_traced(packed, nbytes, nodes, n_chains, sx, sy,
                       permissible):
   """Fused replay: packed (B, CAP_B) uint8 -> VCG (B, sy*sx) uint8.
   Call inside jit; caller guarantees use_replay()."""
+  vcg = replay_vcg_i32_traced(packed, nbytes, nodes, n_chains, sx, sy,
+                              permissible)
+  return vcg.reshape(vcg.shape[0], sy * sx).astype(jnp.uint8)
+
+
+def replay_vcg_i32_traced(packed, nbytes, nodes, n_chains, sx, sy,
+                          permissible):
+  """Fused replay to an int32 (B, sy, sx) VCG (crack-format
+  complement already applied in-kernel) — feeds the CCL kernels with
+  no intermediate cast/xor passes."""
   B, CAP_B = packed.shape
   CAP = CAP_B * 4
   R = CAP // LANES
@@ -560,6 +572,7 @@ def replay_vcg_traced(packed, nbytes, nodes, n_chains, sx, sy,
     vcg = pl.pallas_call(
       functools.partial(
         _paint_vcg_kernel, R=R, sx=sx, sy=sy, HI2=HI2,
+        permissible=permissible,
       ),
       grid=(B,),
       in_specs=[
@@ -577,7 +590,4 @@ def replay_vcg_traced(packed, nbytes, nodes, n_chains, sx, sy,
       interpret=INTERPRET,
     )(svh, lims_p)
 
-  vcg = vcg.reshape(B, sy * sx).astype(jnp.uint8)
-  if not permissible:
-    vcg = vcg ^ 0b1111
   return vcg

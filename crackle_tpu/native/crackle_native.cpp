@@ -751,12 +751,29 @@ void crc32c_init() {
 }
 
 uint32_t crc32c(const uint8_t* data, size_t n) {
+#if defined(__SSE4_2__)
+  // hardware CRC32C (the reference's fastcrc uses the same
+  // instructions on x86: third_party/fastcrc/crc32c_x86_64_sse.h)
+  uint64_t crc = 0xFFFFFFFFull;
+  size_t i = 0;
+  for (; i + 8 <= n; i += 8) {
+    uint64_t w;
+    memcpy(&w, data + i, 8);
+    crc = __builtin_ia32_crc32di(crc, w);
+  }
+  uint32_t c32 = (uint32_t)crc;
+  for (; i < n; i++) {
+    c32 = __builtin_ia32_crc32qi(c32, data[i]);
+  }
+  return c32 ^ 0xFFFFFFFFu;
+#else
   crc32c_init();
   uint32_t crc = 0xFFFFFFFFu;
   for (size_t i = 0; i < n; i++) {
     crc = crc32c_table_[(crc ^ data[i]) & 0xFF] ^ (crc >> 8);
   }
   return crc ^ 0xFFFFFFFFu;
+#endif
 }
 
 uint64_t rd(const uint8_t* p, int width) {
@@ -994,23 +1011,29 @@ int64_t crackle_decompress_stream(
     );
     if (stored != computed) { rcs[t] = -4; return; }
 
-    // paint
+    // paint: per-slice component -> output label. Materialize the
+    // slice's label window as a typed table once (N entries), then
+    // the per-voxel loop is two typed loads — no per-voxel dynamic-
+    // width decoding.
     uint64_t key_base = cum[z];
+    uint64_t n_comp = cum[z + 1] - key_base;
+    std::vector<uint64_t> lmap(n_comp);
+    for (uint64_t k = 0; k < n_comp; k++) {
+      uint64_t key = rd(keys + (key_base + k) * kw, kw);
+      lmap[k] = rd(uniq + key * h.stored_width, h.stored_width);
+    }
     #define PAINT(OUT_T) do { \
       OUT_T* o = reinterpret_cast<OUT_T*>(out); \
       if (h.fortran_order) { \
         OUT_T* oz = o + zi * sxy; \
         for (int64_t i = 0; i < sxy; i++) { \
-          uint64_t key = rd(keys + (key_base + ccl[i]) * kw, kw); \
-          oz[i] = (OUT_T)rd(uniq + key * h.stored_width, h.stored_width); \
+          oz[i] = (OUT_T)lmap[ccl[i]]; \
         } \
       } else { \
         for (int64_t yy2 = 0; yy2 < sy; yy2++) { \
           for (int64_t xx2 = 0; xx2 < sx; xx2++) { \
             int64_t i = xx2 + sx * yy2; \
-            uint64_t key = rd(keys + (key_base + ccl[i]) * kw, kw); \
-            o[zi + szr * (yy2 + sy * xx2)] = \
-              (OUT_T)rd(uniq + key * h.stored_width, h.stored_width); \
+            o[zi + szr * (yy2 + sy * xx2)] = (OUT_T)lmap[ccl[i]]; \
           } \
         } \
       } \
