@@ -215,7 +215,12 @@ int64_t crackle_trace_slice(
   }
   #undef BUILD
 
-  std::vector<int64_t> sym_lens(max_chains);
+  // per-thread scratch: a fresh vector would zero max_chains*8
+  // bytes (~0.5 MB) on every slice
+  thread_local std::vector<int64_t> sym_lens;
+  if ((int64_t)sym_lens.size() < max_chains) {
+    sym_lens.resize(max_chains);
+  }
   int64_t n_chains = trace_slice_symbols(
     scratch_adj, sx, sy, scratch_symbols, sym_cap,
     out_nodes, sym_lens.data(), max_chains
@@ -406,7 +411,8 @@ int64_t crackle_ccl_slice(
 ) {
   const int64_t nvox = sx * sy;
   if (nvox == 0) return 0;
-  std::vector<uint32_t> parent;
+  thread_local std::vector<uint32_t> parent;
+  parent.clear();
   parent.reserve(nvox / 4 + 8);
 
   auto find = [&](uint32_t v) {
@@ -454,7 +460,8 @@ int64_t crackle_ccl_slice(
   #undef CCL
 
   // resolve + first-visit renumber
-  std::vector<uint32_t> renumber(parent.size(), 0xFFFFFFFFu);
+  thread_local std::vector<uint32_t> renumber;
+  renumber.assign(parent.size(), 0xFFFFFFFFu);
   uint32_t next_label = 0;
   for (int64_t i = 0; i < nvox; i++) {
     uint32_t root = find(out[i]);
@@ -472,7 +479,8 @@ int64_t crackle_ccl_vcg_slice(
 ) {
   const int64_t nvox = sx * sy;
   if (nvox == 0) return 0;
-  std::vector<uint32_t> parent;
+  thread_local std::vector<uint32_t> parent;
+  parent.clear();
   parent.reserve(nvox / 4 + 8);
 
   auto find = [&](uint32_t v) {
@@ -506,7 +514,8 @@ int64_t crackle_ccl_vcg_slice(
     }
   }
 
-  std::vector<uint32_t> renumber(parent.size(), 0xFFFFFFFFu);
+  thread_local std::vector<uint32_t> renumber;
+  renumber.assign(parent.size(), 0xFFFFFFFFu);
   uint32_t next_label = 0;
   for (int64_t i = 0; i < nvox; i++) {
     uint32_t root = find(out[i]);
