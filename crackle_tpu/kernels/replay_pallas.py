@@ -7,26 +7,33 @@ separate passes. These kernels keep one slice's whole replay resident
 in VMEM:
 
   kernel P1: diff codepoints -> classified stream -> int32 sort keys
-  (XLA sorts the keys between the kernels — its bitonic sort is fast)
-  kernel P2: sorted keys -> next-close matching -> position replay ->
-             edge presence -> the assembled 4-bit VCG, fully
-             VMEM-resident. Both scatters (scope cancellation into
-             the CAP-bin position accumulator; edge presence into the
-             VH raster) run as *windowed* one-hot matmuls on the MXU:
-             a chunk of 128 consecutive crack moves walks adjacent
-             pixels, so its bins span a narrow row window computed
-             by an in-kernel min/max reduction — no sort of the edge
-             indices and orders of magnitude fewer MACs than a
-             full-bin scatter.
+  (XLA runs an unstable bitonic sort between the kernels — the keys
+  embed the stream index, so they are unique and stability is waste)
+  kernel P2: sorted keys -> next-close scope matching (flat scans) ->
+             scope-cancellation scatter -> position replay -> edge
+             bin ids. The cancel scatter runs as grouped one-hot
+             matmuls over all CAP bins (= the (R, 128) position grid),
+             with the +-1 weight channels folded into the hi-one-hot.
+  (XLA sorts the edge bin ids — sorted chunks span ~1 paint window
+   vs ~4-5 unsorted, because chunks crossing branch-scope boundaries
+   jump across the raster)
+  kernel P3: sorted edge ids -> VH presence raster -> the assembled
+             4-bit VCG (crack-format complement included), emitted as
+             int32 straight into the CCL kernels. The paint scatter is
+             windowed: per group of 4 sorted chunks, W-row one-hot
+             matmuls accumulate at dynamic offsets precomputed in XLA
+             (in-kernel scalar reductions stall the VPU ~300 cycles;
+             each dynamic-offset accumulate costs ~100 cycles, hence
+             the grouping).
 
 Layout: the CAP codepoints of a slice live as a (R, 128) int32 grid
 in flat raster order; scans are log-step roll/select passes within
 rows plus a row-carry pass (the same pattern as the CCL kernel).
 The cancel accumulator has CAP bins = exactly the (R, 128) grid. The
 VH paint bins interleave the vertical/horizontal edge rasters by dual
-row (bin row 2y = V edges of row y, 2y+1 = H edges) so a chunk mixing
-edge kinds still lands in one narrow window; the final VCG assembly
-(shift/or of the V/H planes) happens in-kernel.
+row (bin row 2y = V edges of row y, 2y+1 = H edges) so windows stay
+narrow; the final VCG assembly (shift/or of the V/H planes) happens
+in-kernel.
 
 Eligibility (host checks, else the XLA path runs): CAP a power of two
 in [256, 16384] (int32 keys need depth*CAP*8 < 2^31), chain table
