@@ -333,10 +333,16 @@ class DeviceStream:
     against the stored words uploaded with the stream) and raises
     FormatError on mismatch — integrity-checked serving with no
     device->host transfer of the decoded volume."""
+    if z_start == 0 and z_end == self.head.sz:
+      # full-window: skip the per-array device slicing dispatches
+      args = (self.packed, self.nbytes, self.nodes, self.n_chains,
+              self.T)
+    else:
+      args = (self.packed[z_start:z_end], self.nbytes[z_start:z_end],
+              self.nodes[z_start:z_end], self.n_chains[z_start:z_end],
+              self.T[z_start:z_end])
     labels, cc, N = _dec.decode_slices_full_plant(
-      self.packed[z_start:z_end], self.nbytes[z_start:z_end],
-      self.nodes[z_start:z_end], self.n_chains[z_start:z_end],
-      self.T[z_start:z_end],
+      *args,
       sx=self.head.sx, sy=self.head.sy, permissible=self.permissible,
     )
     if check_crcs and self.crcs is not None:
