@@ -64,8 +64,17 @@ def gather_statistics(slice_codes: List[np.ndarray], order: int
 
 def stats_to_model(stats: np.ndarray) -> np.ndarray:
   """Rank directions per row, most frequent first; ties broken by
-  direction index. model[row][direction] = rank."""
-  order = np.argsort(-stats, axis=1, kind='stable')  # rank -> direction
+  direction index DESCENDING. model[row][direction] = rank.
+
+  Byte-exact with the reference (markov.hpp:222-266): its comparator
+  is `a.second >= b.second` under std::sort, which for 4 elements is
+  libstdc++'s insertion sort — equal counts keep floating an element
+  past its equal predecessors, so among ties the HIGHER direction
+  index lands at the lower rank. Sorting by the composite key
+  count*4 + direction descending reproduces that order exactly
+  (verified against the compiled reference in tests/test_golden.py)."""
+  key = stats.astype(np.int64) * 4 + np.arange(4, dtype=np.int64)[None, :]
+  order = np.argsort(-key, axis=1)  # rank -> direction, keys unique
   model = np.empty_like(order)
   rows = np.arange(stats.shape[0])[:, None]
   model[rows, order] = np.arange(4)[None, :]

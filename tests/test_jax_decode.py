@@ -199,13 +199,29 @@ def test_device_crc32c_matches_reference():
   from crackle_tpu.kernels import crc32c_tpu
   from crackle_tpu.lib import crc32c
   rng = np.random.RandomState(5)
-  for W in (1, 3, 129, 4096):
+  for W in (1, 3, 129, 511, 512, 513, 4096):
     msgs = rng.randint(0, 2 ** 32, size=(4, W), dtype=np.uint32)
     got = np.asarray(crc32c_tpu.crc32c_device(msgs.view(np.int32)))
     want = np.array(
       [crc32c(np.ascontiguousarray(m.astype('<u4'))) for m in msgs],
       np.uint32)
     np.testing.assert_array_equal(got, want)
+
+
+def test_device_crc32c_large_message():
+  """Messages with 32*W > 2^24 bit-count sums: the per-plane parity
+  must stay exact (regression: a single f32 accumulator across all 32
+  bitplanes rounds and corrupts the parity at this size)."""
+  from crackle_tpu.kernels import crc32c_tpu
+  from crackle_tpu.lib import crc32c
+  rng = np.random.RandomState(11)
+  W = 600_001  # > 2^24 / 32, and not a multiple of the block size
+  msgs = rng.randint(0, 2 ** 32, size=(2, W), dtype=np.uint32)
+  got = np.asarray(crc32c_tpu.crc32c_device(msgs.view(np.int32)))
+  want = np.array(
+    [crc32c(np.ascontiguousarray(m.astype('<u4'))) for m in msgs],
+    np.uint32)
+  np.testing.assert_array_equal(got, want)
 
 
 def test_device_stream_crc_check(monkeypatch):
