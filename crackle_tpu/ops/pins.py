@@ -17,6 +17,7 @@ import numpy as np
 
 from ..lib import crc32c
 from .ccl import connected_components
+from .rh_set import RHFlatSetU32
 
 
 @dataclass
@@ -92,9 +93,25 @@ def extract_columns(labels: np.ndarray, cc_labels: np.ndarray,
 
 
 def find_suboptimal_pins(pins: List[CandidatePin],
-                         universe: set) -> List[CandidatePin]:
-  """Fast heuristic cover: repeatedly take an uncovered component and
-  choose the deepest pin covering it (find_suboptimal_pins parity)."""
+                         universe) -> List[CandidatePin]:
+  """Fast heuristic cover, byte-exact with the reference
+  (find_suboptimal_pins, pins.hpp:300-346): repeatedly take an
+  uncovered component and a deep pin covering it.
+
+  Two reference behaviors are observable in the stream bytes and are
+  reproduced faithfully:
+  - "pick any uncovered cc" is `*universe.begin()` on a robin_hood
+    flat set, i.e. the lowest occupied BUCKET, so the pick order
+    replays that table's probing/deletion dynamics (rh_set.py);
+  - the selection scan initializes max_depth from the first candidate
+    and never updates it (pins.hpp:328-336), so it selects the LAST
+    candidate deeper than the FIRST one — not the argmax.
+
+  `universe`: the label's distinct global cc ids in ascending order
+  (== first-appearance order of the reference's multiverse scan,
+  pins.hpp:166-198, since global cc ids are assigned in the same
+  raster order that scan walks).
+  """
   final_pins: List[CandidatePin] = []
   if not pins:
     return final_pins
@@ -104,13 +121,20 @@ def find_suboptimal_pins(pins: List[CandidatePin],
     for ccid in pin.ccids:
       component_to_pins.setdefault(int(ccid), []).append(i)
 
-  universe = set(universe)
-  while universe:
-    picked = min(universe)
+  rh = RHFlatSetU32()
+  for c in universe:
+    rh.add(int(c))
+
+  while len(rh):
+    picked = rh.first()
     candidates = component_to_pins[picked]
-    best = max(candidates, key=lambda i: pins[i].depth)
-    max_pin = pins[best]
-    universe.difference_update(int(c) for c in max_pin.ccids)
+    max_pin = pins[candidates[0]]
+    d0 = max_pin.depth
+    for i in candidates[1:]:
+      if pins[i].depth > d0:
+        max_pin = pins[i]
+    for c in max_pin.ccids:
+      rh.discard(int(c))
     final_pins.append(max_pin)
   return final_pins
 
@@ -185,14 +209,16 @@ def compute(labels: np.ndarray, sx: int, sy: int, sz: int,
 
   pinsets = extract_columns(labels, cc_labels, sx, sy, sz)
 
-  # universe per label: all global cc ids belonging to the label
-  solver = find_optimal_pins if optimize else find_suboptimal_pins
+  # universe per label: all global cc ids belonging to the label.
+  # The fast solver needs them in ascending order (== the reference's
+  # multiverse insertion order); the optimal solver takes a plain set.
   all_pins: Dict[int, List[CandidatePin]] = {}
   for label, pins in pinsets.items():
-    universe = set()
-    for p in pins:
-      universe.update(int(c) for c in p.ccids)
-    all_pins[label] = solver(pins, universe)
+    ccids = np.unique(np.concatenate([p.ccids for p in pins]))
+    if optimize:
+      all_pins[label] = find_optimal_pins(pins, set(int(c) for c in ccids))
+    else:
+      all_pins[label] = find_suboptimal_pins(pins, ccids)
 
   # per-slice crcs over slice-local (renumbered-from-0) cc labels
   crcs = np.zeros(sz, dtype=np.uint32)
