@@ -309,7 +309,11 @@ int64_t crackle_encode_slice(
   for (int64_t i = 0; i < n_chains; i++) {
     cp_off[i + 1] = cp_off[i] + scratch_cp_lens[i];
   }
-  std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+  // stable: the python pack path keys chains by start node (unique in
+  // practice); if the tracer ever emitted two chains with the same
+  // start, stable order keeps native and python byte streams aligned
+  // instead of diverging silently
+  std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
     return scratch_nodes[a] < scratch_nodes[b];
   });
 
