@@ -1,0 +1,600 @@
+"""Generalized fused Pallas replay: any slice width up to 1023 and
+codepoint capacities up to 2^19 (the canonical 512^3 corpus and
+binary-noise slices included).
+
+Same algorithm as replay_pallas (classify -> sort by (depth, pos) ->
+scope match -> cancel -> position replay -> edge paint; reference
+semantics crackcodes.hpp:523-603 / 706-862, oracle ops/crackcode.py),
+restructured so VMEM stays bounded at any CAP:
+
+  * every full-stream scan runs CHUNKED: a fori_loop walks (Rc, 128)
+    row windows of the (R, 128) codepoint grid with the scan carries
+    held as (1, 1) vectors (no vector->scalar round trips); windows
+    read one lookahead row for the shift-left dependencies
+    (pair-second classification, depth-segment ends)
+  * sort keys are TWO int32 operands (depth, pos<<3|flags) sorted
+    lexicographically — the packed single-key form overflows int32
+    once depth*CAP*8 reaches 2^31, which caps it at CAP=16384
+  * the scope-cancellation scatter no longer runs as one-hot matmuls
+    over all CAP bins (O(R^2) work): each move emits a target key
+    ((isV*CAP + close_pos) << 1 | sign), XLA sorts them, and a
+    windowed signed one-hot scatter (the same machinery as the paint)
+    accumulates the H/V cancel planes in O(CAP) matmul rows
+  * the edge-presence paint raster is segmented: plane-major bin rows
+    (plane in {V, H}, segment = ex >> 9, dual row ey) keep the lane
+    width at 512 for any sx; the in-kernel VCG assembly stitches
+    segments, carrying the V column across segment seams
+
+Corrupt streams can drive replayed positions outside the f32
+floor-div window and alias edges into the valid raster; as everywhere
+else in the decoder, the per-slice CCL crc32c is the integrity gate.
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .ccl_pallas import _roll_up
+from . import ccl_pallas
+from .replay_pallas import (
+  LANES, MAX_CHAINS,
+  _flat_scan, _flat_cumsum, _flat_cummax, _flat_cummin,
+  _flat_shift_right, _flat_shift_left, _op_firstset, _floor_div,
+)
+
+_I32MAX = np.iinfo(np.int32).max
+
+PAINT_LO = 512   # paint scatter lane width (one segment of a dual row)
+PAINT_W = 16     # paint scatter: bin-row window height per matmul
+CANCEL_W = 16    # cancel scatter window height (bins = position grid)
+MAX_CAP = 1 << 19
+
+# rows per chunk of the in-kernel scans (tests shrink this to cover
+# the multi-chunk carry paths on small streams)
+CHUNK_R = 256
+
+
+def _chunk_rows(R: int) -> int:
+  if R <= CHUNK_R:
+    return R
+  if R >= 4096:
+    return min(128, CHUNK_R)
+  return CHUNK_R
+
+
+def _nseg(sx: int) -> int:
+  return -(-(sx + 1) // PAINT_LO)
+
+
+def _bc11(v, shape):
+  """Broadcast a (1, 1) carry across a grid."""
+  return jax.lax.broadcast_in_dim(v, shape, (0, 1))
+
+
+def _shift_right_v(v, fillv):
+  """Flat-order shift right with a (1, 1) traced fill for element 0."""
+  R, C = v.shape
+  out = _flat_shift_right(v, 0)
+  row = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+  col = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+  return jnp.where((row == 0) & (col == 0), _bc11(fillv, (R, C)), out)
+
+
+# ---------------------------------------------------------------------------
+# P1: chunked classification -> sort keys + cls
+# ---------------------------------------------------------------------------
+
+def _classify_chunk(d, pos, n_cps, n_chains, carr):
+  """One (Rw, 128) window of the stream classification. carr is a
+  tuple of (1, 1) int32 carries from the previous chunk's last true
+  element; returns (state dict, new carries evaluated at [Rc-1, C-1])
+  where Rc = Rw - 1 (the last row is lookahead)."""
+  (cps_c, prev_c, r_c, rs_c, c_c, cm_c, ie_c, ec_c) = carr
+  Rw, C = d.shape
+  shape = (Rw, C)
+
+  in_range = jnp.where(pos < n_cps, 1, 0)
+  d = d * in_range
+  cps = (_flat_cumsum(d) + _bc11(cps_c, shape)) & 3
+
+  prev = _shift_right_v(cps, prev_c)
+  r = jnp.where((cps ^ prev) == 0b10, 1, 0) * in_range
+  r_prev = _shift_right_v(r, r_c)
+  rs = jnp.where((r > 0) & (r_prev == 0), pos, -1)
+  run_start = jnp.maximum(
+    _flat_cummax(jnp.where(r > 0, rs, -1)), _bc11(rs_c, shape))
+  is_second = r * jnp.where(((pos - run_start) & 1) == 0, 1, 0)
+
+  pair_first = _flat_shift_left(is_second, 0)
+  second_cp = _flat_shift_left(cps, 0)
+  term_pair = jnp.where((second_cp == 0) | (second_cp == 3), 1, 0)
+  is_term = pair_first * term_pair
+  is_move = (1 - pair_first) * (1 - is_second) * in_range
+
+  tok = pair_first * (1 - term_pair) - is_term
+  c = _flat_cumsum(tok) + _bc11(c_c, shape)
+  cm = jnp.minimum(_flat_cummin(c), _bc11(cm_c, shape))
+  runmin = jnp.minimum(_shift_right_v(cm, cm_c), 0)
+  is_end = jnp.where(c < runmin, 1, 0) * in_range
+
+  end_cum = _flat_cumsum(is_end) + _bc11(ec_c, shape)
+  cnt_before = end_cum - is_end
+  chain_of = jnp.clip(cnt_before, 0, jnp.maximum(n_chains - 1, 0))
+  prev_is_end = _shift_right_v(is_end, ie_c)
+  valid = jnp.where((cnt_before < n_chains) | (prev_is_end > 0), 1, 0)
+  depth_after = c + chain_of + 1
+
+  e = Rw - 2  # last true row
+  new_carr = (
+    cps[e:e + 1, C - 1:C], cps[e:e + 1, C - 1:C],
+    r[e:e + 1, C - 1:C],
+    run_start[e:e + 1, C - 1:C], c[e:e + 1, C - 1:C],
+    cm[e:e + 1, C - 1:C], is_end[e:e + 1, C - 1:C],
+    end_cum[e:e + 1, C - 1:C],
+  )
+  st = dict(
+    pos=pos, cps=cps, is_move=is_move, is_term=is_term,
+    valid=valid, chain_of=chain_of, depth_after=depth_after,
+  )
+  return st, new_carr
+
+
+def _carr_init():
+  def c11(v):
+    return jnp.full((1, 1), v, jnp.int32)
+  return (c11(0), c11(255), c11(0), c11(-1), c11(0), c11(_I32MAX),
+          c11(0), c11(0))
+
+
+def _keys_kernel_big(diffs_ref, meta_ref, *out_refs, CAP, Rc, packed):
+  if packed:
+    kd_ref, cls_ref = out_refs
+    kp_ref = None
+  else:
+    kd_ref, kp_ref, cls_ref = out_refs
+  C = LANES
+  R = CAP // C
+  NCH = R // Rc
+  n_cps = meta_ref[0, 0, 0] * 4
+  n_chains = meta_ref[0, 0, 1]
+
+  def chunk(k, carr):
+    r0 = pl.multiple_of(k * Rc, Rc)
+    d = diffs_ref[0, pl.ds(r0, Rc + 1), :].astype(jnp.int32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (Rc + 1, C), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (Rc + 1, C), 1)
+    pos = (r0 + row) * C + col
+    st, new_carr = _classify_chunk(d, pos, n_cps, n_chains, carr)
+
+    depth_evt = st["depth_after"] + st["is_term"]
+    close = st["is_term"] * st["valid"]
+    active = st["valid"] * jnp.minimum(st["is_move"] + st["is_term"], 1)
+    kp = (st["pos"] << 3) | (close << 2) | st["cps"]
+    if packed:
+      keys = (depth_evt * CAP + st["pos"]) * 8 + (close << 2) + st["cps"]
+      kd_ref[0, pl.ds(r0, Rc), :] = \
+        jnp.where(active > 0, keys, _I32MAX)[0:Rc]
+    else:
+      kd_ref[0, pl.ds(r0, Rc), :] = \
+        jnp.where(active > 0, depth_evt, _I32MAX)[0:Rc]
+      kp_ref[0, pl.ds(r0, Rc), :] = \
+        jnp.where(active > 0, kp, _I32MAX)[0:Rc]
+    cls_ref[0, pl.ds(r0, Rc), :] = \
+      (st["cps"] | ((st["is_move"] * st["valid"]) << 2)
+       | (st["chain_of"] << 3))[0:Rc]
+    return new_carr
+
+  if NCH == 1:
+    chunk(0, _carr_init())
+  else:
+    jax.lax.fori_loop(0, NCH, chunk, _carr_init())
+
+
+# ---------------------------------------------------------------------------
+# P2a: sorted keys -> per-move cancel-target keys (reverse chunked)
+# ---------------------------------------------------------------------------
+
+def _scope_kernel(*refs, CAP, Rc, packed):
+  if packed:
+    skd_ref, tk_ref = refs
+    skp_ref = None
+  else:
+    skd_ref, skp_ref, tk_ref = refs
+  C = LANES
+  R = CAP // C
+  NCH = R // Rc
+  PADK = (2 * CAP) << 1
+
+  def chunk(i, carr_nc):
+    k = (NCH - 1 - i) if NCH > 1 else 0
+    r0 = pl.multiple_of(k * Rc, Rc)
+    if packed:
+      sk = skd_ref[0, pl.ds(r0, Rc + 1), :]
+      inf = jnp.where(sk == _I32MAX, 1, 0)
+      cps_s = sk & 3
+      close = ((sk >> 2) & 1) * (1 - inf)
+      body = sk >> 3
+      pos_s = body & (CAP - 1)
+      depth = body >> int(np.log2(CAP))
+    else:
+      depth = skd_ref[0, pl.ds(r0, Rc + 1), :]
+      kp = skp_ref[0, pl.ds(r0, Rc + 1), :]
+      inf = jnp.where(depth == _I32MAX, 1, 0)
+      cps_s = kp & 3
+      close = ((kp >> 2) & 1) * (1 - inf)
+      pos_s = kp >> 3
+
+    nxt = _flat_shift_left(depth, -1)
+    seg_last = jnp.minimum(
+      jnp.where(depth != nxt, 1, 0) + inf, 1)
+    setf = jnp.minimum(close + seg_last, 1)
+    e = jnp.where(setf > 0,
+                  jnp.where(close > 0, pos_s, CAP), -1)
+    w = _flat_scan(e, _op_firstset, -1, reverse=True)
+    nc = jnp.where(w < 0, _bc11(carr_nc, w.shape), w)
+    nc_full = jnp.where(nc < 0, CAP, nc)
+
+    move_s = (1 - inf) * (1 - close)
+    ok = jnp.where((move_s > 0) & (nc_full < CAP), 1, 0)
+    isV = jnp.where((cps_s == 0) | (cps_s == 2), 1, 0)
+    neg = jnp.where((cps_s == 1) | (cps_s == 2), 1, 0)
+    tkey = ((isV * CAP + nc_full) << 1) | neg
+    tk_ref[0, pl.ds(r0, Rc), :] = \
+      jnp.where(ok > 0, tkey, PADK)[0:Rc]
+    return nc[0:1, 0:1]
+
+  init = jnp.full((1, 1), -1, jnp.int32)
+  if NCH == 1:
+    chunk(0, init)
+  else:
+    jax.lax.fori_loop(0, NCH, chunk, init)
+
+
+# ---------------------------------------------------------------------------
+# shared windowed sorted scatter (signed cancel / presence paint)
+# ---------------------------------------------------------------------------
+
+def _scatter_sorted_keys(keys_ref, lim_ref, acc_scr, *, R, W, LO, G,
+                         signed):
+  """Accumulate sorted bin keys into acc_scr via windowed one-hot
+  matmuls. signed=True: key = bin << 1 | negflag, weight = +-1;
+  signed=False: key = bin, weight = 1. Pads carry bin = n_hi * LO and
+  land in the scratch rows past the raster (the one-hot row select
+  places them exactly; windows only need W rows of slack)."""
+  C = LANES
+  shift = int(np.log2(LO))
+  iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
+  iota_lo = jax.lax.broadcasted_iota(jnp.int32, (LO, C), 0)
+
+  def group(j, carry):
+    his = []
+    sgns = []
+    Blos = []
+    for g in range(G):
+      krow = keys_ref[0, pl.ds(j * G + g, 1), :]  # (1, C) sorted
+      if signed:
+        bins = krow >> 1
+        sg = (1 - 2 * (krow & 1)).astype(jnp.float32)
+        sgns.append(jax.lax.broadcast_in_dim(sg, (W, C), (0, 1)))
+      else:
+        bins = krow
+      his.append(jax.lax.broadcast_in_dim(bins >> shift, (W, C),
+                                          (0, 1)))
+      lob = jax.lax.broadcast_in_dim(bins & (LO - 1), (LO, C), (0, 1))
+      Blos.append(
+        jnp.where(lob == iota_lo, jnp.float32(1), jnp.float32(0))
+        .astype(jnp.bfloat16))
+    bq = lim_ref[0, 0, j]
+    nsub = lim_ref[0, 1, j]
+
+    def sub(w, c2):
+      start = (bq + w) * W
+      part = jnp.zeros((W, LO), jnp.float32)
+      for g in range(G):
+        A = jnp.where(his[g] - start == iota_w, jnp.float32(1),
+                      jnp.float32(0))
+        if signed:
+          A = A * sgns[g]
+        part = part + jax.lax.dot_general(
+          A.astype(jnp.bfloat16), Blos[g], (((1,), (1,)), ((), ())),
+          preferred_element_type=jnp.float32,
+        )
+      acc_scr[pl.ds(start, W), :] = acc_scr[pl.ds(start, W), :] + part
+      return c2
+
+    jax.lax.fori_loop(0, nsub, sub, 0)
+    return carry
+
+  jax.lax.fori_loop(0, R // G, group, 0)
+
+
+def _scatter_group(R):
+  return 4 if R % 4 == 0 else (2 if R % 2 == 0 else 1)
+
+
+# ---------------------------------------------------------------------------
+# P2b: cancel scatter + chunked position replay -> edge bin ids
+# ---------------------------------------------------------------------------
+
+def _replay_kernel_big(cls_ref, stk_ref, limc_ref, nodes_ref, vh_ref,
+                       acc_scr, *, CAP, Rc, sx, sy, NSEG, G):
+  C = LANES
+  R = CAP // C
+  NCH = R // Rc
+  sxe = sx + 1
+  HIS = 2 * NSEG * (sy + 1)
+
+  acc_scr[:, :] = jnp.zeros((2 * R + CANCEL_W, C), jnp.float32)
+  _scatter_sorted_keys(stk_ref, limc_ref, acc_scr, R=R, W=CANCEL_W,
+                       LO=C, G=G, signed=True)
+
+  def chunk(k, carr_pos):
+    r0 = pl.multiple_of(k * Rc, Rc)
+    clsv = cls_ref[0, pl.ds(r0, Rc), :]
+    cps = clsv & 3
+    mv = (clsv >> 2) & 1
+    chain_of = clsv >> 3
+    ch = acc_scr[pl.ds(r0, Rc), :].astype(jnp.int32)
+    cv = acc_scr[pl.ds(R + r0, Rc), :].astype(jnp.int32)
+
+    deltas = jnp.where(
+      cps == 0, -sxe,
+      jnp.where(cps == 1, 1, jnp.where(cps == 2, sxe, -1)))
+    deltas = deltas * mv
+    acc = deltas + ch + sxe * cv
+    pos_after = _flat_cumsum(acc) + _bc11(carr_pos, (Rc, C))
+
+    cmin = chain_of[0, 0]
+    cmax = chain_of[Rc - 1, C - 1]
+
+    def base_body(kk, b):
+      nk = nodes_ref[0, 0, kk]
+      return jnp.where(chain_of == kk, jnp.full_like(b, nk), b)
+
+    base = jax.lax.fori_loop(
+      cmin, cmax + 1, base_body, jnp.zeros((Rc, C), jnp.int32))
+    pos_before = pos_after + base * mv - deltas
+
+    py = _floor_div(pos_before, sxe)
+    px = pos_before - py * sxe
+    ey = jnp.where(cps == 0, py - 1, py)
+    ex = jnp.where(cps == 3, px - 1, px)
+    plH = jnp.where((cps == 1) | (cps == 3), 1, 0)
+    seg = ex >> int(np.log2(PAINT_LO))
+    binrow = (plH * NSEG + seg) * (sy + 1) + ey
+    vh = binrow * PAINT_LO + (ex & (PAINT_LO - 1))
+    ok = (mv * jnp.where(ey >= 0, 1, 0) * jnp.where(ey <= sy, 1, 0)
+          * jnp.where(ex >= 0, 1, 0) * jnp.where(ex < sxe, 1, 0))
+    vh = jnp.where(ok > 0, vh, HIS * PAINT_LO)
+    vh_ref[0, pl.ds(r0, Rc), :] = vh
+    return pos_after[Rc - 1:Rc, C - 1:C]
+
+  init = jnp.zeros((1, 1), jnp.int32)
+  if NCH == 1:
+    chunk(0, init)
+  else:
+    jax.lax.fori_loop(0, NCH, chunk, init)
+
+
+# ---------------------------------------------------------------------------
+# P3: sorted edge ids -> segmented presence paint -> assembled VCG
+# ---------------------------------------------------------------------------
+
+def _paint_vcg_big(svh_ref, limp_ref, vcg_ref, paint_scr, asm_scr, *,
+                   R, sx, sy, NSEG, G, permissible):
+  LO = PAINT_LO
+  sye = sy + 1
+  HIS = 2 * NSEG * sye
+  paint_scr[:, :] = jnp.zeros((HIS + PAINT_W, LO), jnp.float32)
+  _scatter_sorted_keys(svh_ref, limp_ref, paint_scr, R=R, W=PAINT_W,
+                       LO=LO, G=G, signed=False)
+
+  comp = 0 if permissible else 0b1111
+  one = jnp.int32(1)
+  zero = jnp.int32(0)
+
+  def plane_v(s):
+    return jnp.where(paint_scr[s * sye:(s + 1) * sye, :] > 0, one,
+                     zero)
+
+  def plane_h(s):
+    return jnp.where(
+      paint_scr[(NSEG + s) * sye:(NSEG + s + 1) * sye, :] > 0, one,
+      zero)
+
+  col = jax.lax.broadcasted_iota(jnp.int32, (sy, LO), 1)
+  for s in range(NSEG):
+    V2 = plane_v(s)
+    H2 = plane_h(s)
+    v_lo = V2[0:sy, :]
+    v_sh = _roll_up(v_lo, 1, 1, 0)
+    if s + 1 < NSEG:
+      nxt = jnp.where(
+        paint_scr[(s + 1) * sye:(s + 1) * sye + sy, 0:1] > 0, one,
+        zero)
+      v_sh = jnp.where(col == LO - 1,
+                       jax.lax.broadcast_in_dim(nxt, (sy, LO), (0, 1)),
+                       v_sh)
+    h_up = H2[0:sy, :]
+    h_dn = _roll_up(H2, 1, 0, 0)[0:sy, :]
+    vcg_s = (v_sh | (v_lo << 1) | (h_dn << 2) | (h_up << 3)) ^ comp
+    if NSEG == 1:
+      vcg_ref[0] = vcg_s[:, 0:sx]
+    else:
+      asm_scr[:, s * LO:(s + 1) * LO] = vcg_s
+  if NSEG > 1:
+    vcg_ref[0] = asm_scr[:, 0:sx]
+
+
+# ---------------------------------------------------------------------------
+# eligibility + host-facing entry
+# ---------------------------------------------------------------------------
+
+def eligible(CAP: int, CAP_CH: int, sx: int, sy: int) -> bool:
+  if CAP < 2 * LANES or CAP > MAX_CAP or CAP & (CAP - 1):
+    return False
+  if CAP_CH > MAX_CHAINS:
+    return False
+  if (sx + 1) * (sy + 1) >= (1 << 24):
+    return False
+  NSEG = _nseg(sx)
+  if NSEG > 2 or NSEG * (sy + 1) > 1536:
+    return False
+  R = CAP // LANES
+  # P2b/P3 VMEM: full streams + cancel planes + paint raster
+  vmem = (4 * (R + 1) * LANES * 4
+          + (2 * R + CANCEL_W) * LANES * 4
+          + (2 * NSEG * (sy + 1) + PAINT_W) * PAINT_LO * 4
+          + (sy * NSEG * PAINT_LO * 4 if NSEG > 1 else 0)
+          + 3 * (sy + 1) * PAINT_LO * 4)
+  return vmem <= 12 * 1024 * 1024
+
+
+def replay_vcg_i32_big(packed, nbytes, nodes, n_chains, sx, sy,
+                      permissible):
+  """Generalized fused replay to an int32 (B, sy, sx) VCG. Call
+  inside jit; caller guarantees eligible()."""
+  B, CAP_B = packed.shape
+  CAP = CAP_B * 4
+  R = CAP // LANES
+  Rc = _chunk_rows(R)
+  CAP_CH = nodes.shape[1]
+  NSEG = _nseg(sx)
+  HIS = 2 * NSEG * (sy + 1)
+  INTERPRET = ccl_pallas.INTERPRET
+  packed_keys = CAP <= 16384
+
+  b = packed.astype(jnp.uint8)
+  diffs = jnp.stack(
+    [b & 3, (b >> 2) & 3, (b >> 4) & 3, (b >> 6) & 3], axis=2
+  ).reshape(B, R, LANES)
+  # one zero lookahead row (masked by in_range in the kernel)
+  diffs = jnp.concatenate(
+    [diffs, jnp.zeros((B, 1, LANES), diffs.dtype)], axis=1)
+  meta = jnp.stack(
+    [nbytes.astype(jnp.int32), n_chains.astype(jnp.int32)],
+    axis=1)[:, None, :]
+  nodes_ = nodes.astype(jnp.int32)[:, None, :]
+
+  def pad_inf(x):
+    return jnp.concatenate(
+      [x.reshape(B, R, LANES),
+       jnp.full((B, 1, LANES), _I32MAX, jnp.int32)], axis=1)
+
+  with jax.enable_x64(False):
+    n_keys = 1 if packed_keys else 2
+    keys_out = [jax.ShapeDtypeStruct((B, R, LANES), jnp.int32)
+                for _ in range(n_keys)]
+    outs = pl.pallas_call(
+      functools.partial(_keys_kernel_big, CAP=CAP, Rc=Rc,
+                        packed=packed_keys),
+      grid=(B,),
+      in_specs=[
+        pl.BlockSpec((1, R + 1, LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+      ],
+      out_specs=[
+        pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in range(n_keys + 1)
+      ],
+      out_shape=keys_out + [
+        jax.ShapeDtypeStruct((B, R, LANES), jnp.int32)],
+      interpret=INTERPRET,
+    )(diffs, meta)
+    if packed_keys:
+      kd, cls = outs
+      skd = jax.lax.sort(kd.reshape(B, CAP), dimension=1,
+                         is_stable=False)
+      sorted_keys = [pad_inf(skd)]
+    else:
+      kd, kp, cls = outs
+      skd, skp = jax.lax.sort(
+        (kd.reshape(B, CAP), kp.reshape(B, CAP)), dimension=1,
+        is_stable=False, num_keys=2)
+      sorted_keys = [pad_inf(skd), pad_inf(skp)]
+
+    tk = pl.pallas_call(
+      functools.partial(_scope_kernel, CAP=CAP, Rc=Rc,
+                        packed=packed_keys),
+      grid=(B,),
+      in_specs=[
+        pl.BlockSpec((1, R + 1, LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in range(n_keys)
+      ],
+      out_specs=pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((B, R, LANES), jnp.int32),
+      interpret=INTERPRET,
+    )(*sorted_keys)
+
+    # sort cancel-target keys; window limits per group of G chunks
+    G = _scatter_group(R)
+    logw_c = int(np.log2(CANCEL_W))
+    stk = jax.lax.sort(tk.reshape(B, CAP), dimension=1,
+                       is_stable=False).reshape(B, R, LANES)
+    bq = jnp.minimum((stk[:, 0::G, 0] >> 1) >> 7, 2 * R) >> logw_c
+    lq = jnp.minimum(
+      (stk[:, G - 1::G, LANES - 1] >> 1) >> 7, 2 * R) >> logw_c
+    limc = jnp.stack([bq, lq - bq + 1], axis=1).astype(jnp.int32)
+
+    vhidx = pl.pallas_call(
+      functools.partial(_replay_kernel_big, CAP=CAP, Rc=Rc, sx=sx,
+                        sy=sy, NSEG=NSEG, G=G),
+      grid=(B,),
+      in_specs=[
+        pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2, R // G), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, CAP_CH), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+      ],
+      out_specs=pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((B, R, LANES), jnp.int32),
+      scratch_shapes=[
+        pltpu.VMEM((2 * R + CANCEL_W, LANES), jnp.float32),
+      ],
+      interpret=INTERPRET,
+    )(cls, stk, limc, nodes_)
+
+    logw_p = int(np.log2(PAINT_W))
+    log_lo = int(np.log2(PAINT_LO))
+    svh = jax.lax.sort(vhidx.reshape(B, CAP), dimension=1,
+                       is_stable=False).reshape(B, R, LANES)
+    bqp = jnp.minimum(svh[:, 0::G, 0] >> log_lo, HIS) >> logw_p
+    lqp = jnp.minimum(
+      svh[:, G - 1::G, LANES - 1] >> log_lo, HIS) >> logw_p
+    limp = jnp.stack([bqp, lqp - bqp + 1], axis=1).astype(jnp.int32)
+
+    asm_rows = sy if NSEG > 1 else 1
+    vcg = pl.pallas_call(
+      functools.partial(_paint_vcg_big, R=R, sx=sx, sy=sy, NSEG=NSEG,
+                        G=G, permissible=permissible),
+      grid=(B,),
+      in_specs=[
+        pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2, R // G), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+      ],
+      out_specs=pl.BlockSpec((1, sy, sx), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((B, sy, sx), jnp.int32),
+      scratch_shapes=[
+        pltpu.VMEM((HIS + PAINT_W, PAINT_LO), jnp.float32),
+        pltpu.VMEM((asm_rows, NSEG * PAINT_LO), jnp.int32),
+      ],
+      interpret=INTERPRET,
+    )(svh, limp)
+
+  return vcg

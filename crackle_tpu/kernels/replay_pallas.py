@@ -462,8 +462,29 @@ def eligible(CAP: int, CAP_CH: int, sx: int, sy: int) -> bool:
   return vmem <= 10 * 1024 * 1024
 
 
+import os as _os
+
+# tests set this to route small streams through the generalized
+# chunked path (replay_big) so its carry logic runs in interpret mode
+FORCE_BIG = _os.environ.get("CRACKLE_TPU_REPLAY_FORCE_BIG", "") == "1"
+
+
+def _pick_path(CAP, CAP_CH, sx, sy):
+  """Which fused replay path handles this shape: 'fused' (original
+  single-chunk kernels), 'big' (chunked/segmented generalization for
+  sx > 511 or CAP > 16384), or None (XLA fallback)."""
+  from . import replay_big
+  if not FORCE_BIG and eligible(CAP, CAP_CH, sx, sy):
+    return "fused"
+  if replay_big.eligible(CAP, CAP_CH, sx, sy):
+    return "big"
+  if FORCE_BIG and eligible(CAP, CAP_CH, sx, sy):
+    return "fused"
+  return None
+
+
 def use_replay(CAP, CAP_CH, sx, sy) -> bool:
-  if not eligible(CAP, CAP_CH, sx, sy):
+  if _pick_path(CAP, CAP_CH, sx, sy) is None:
     return False
   if ccl_pallas._NO_PALLAS:
     return False
@@ -483,7 +504,12 @@ def replay_vcg_i32_traced(packed, nbytes, nodes, n_chains, sx, sy,
                           permissible):
   """Fused replay to an int32 (B, sy, sx) VCG (crack-format
   complement already applied in-kernel) — feeds the CCL kernels with
-  no intermediate cast/xor passes."""
+  no intermediate cast/xor passes. Dispatches to the generalized
+  chunked path (replay_big) for wide slices / long streams."""
+  from . import replay_big
+  if _pick_path(packed.shape[1] * 4, nodes.shape[1], sx, sy) == "big":
+    return replay_big.replay_vcg_i32_big(
+      packed, nbytes, nodes, n_chains, sx, sy, permissible)
   B, CAP_B = packed.shape
   CAP = CAP_B * 4
   R = CAP // LANES

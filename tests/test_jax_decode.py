@@ -245,3 +245,79 @@ def test_device_stream_crc_check(monkeypatch):
   stream.crcs = jnp.asarray(bad)
   with pytest.raises(FormatError, match="z=2"):
     stream.decode_window(0, 4, check_crcs=True)
+
+
+# ---------------------------------------------------------------------------
+# generalized chunked replay (replay_big): wide slices, long streams
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def force_big(monkeypatch):
+  """Route eligible streams through the generalized chunked replay
+  with tiny chunk rows so the carry logic is exercised, regardless of
+  stream size."""
+  import jax
+  from crackle_tpu.kernels import ccl_pallas, replay_pallas, replay_big
+  monkeypatch.setattr(ccl_pallas, "INTERPRET", True)
+  monkeypatch.setattr(replay_pallas, "FORCE_BIG", True)
+  monkeypatch.setattr(replay_big, "CHUNK_R", 2)
+  jax.clear_caches()  # dispatch is baked into traced functions
+  yield
+  jax.clear_caches()
+
+
+BIG_CASES = [
+  ((9, 9, 4), 4, 31, 0),
+  ((16, 16, 3), 5, 32, 4),     # impermissible, branches
+  ((16, 16, 3), 2, 33, 0),     # noisy -> permissible
+  ((33, 17, 3), 6, 34, 6),
+  ((8, 8, 2), 1, 35, 0),       # constant
+  ((5, 1, 3), 3, 36, 0),
+]
+
+
+@pytest.mark.parametrize("shape,nl,seed,smooth", BIG_CASES)
+def test_replay_big_matches_numpy(force_big, shape, nl, seed, smooth):
+  vol = random_volume(shape, nl, seed, smooth)
+  binary = crackle.compress(vol)
+  out = engine.decode_window(binary, 0, shape[2])
+  assert out is not None
+  np.testing.assert_array_equal(out, vol)
+
+
+@pytest.mark.parametrize("shape,nl,seed,smooth", [
+  ((513, 6, 2), 5, 41, 3),     # sx + 1 > 512: two paint segments
+  ((600, 9, 2), 7, 42, 4),
+  ((520, 5, 1), 2, 43, 0),
+])
+def test_replay_big_wide_slices(force_big, shape, nl, seed, smooth):
+  """sx >= 512 runs the segmented paint raster (plane-major bins,
+  cross-segment V carry); ineligible for the original fused kernel."""
+  from crackle_tpu.kernels import replay_big
+  assert replay_big._nseg(shape[0]) == 2
+  vol = random_volume(shape, nl, seed, smooth)
+  binary = crackle.compress(vol)
+  out = engine.decode_window(binary, 0, shape[2])
+  assert out is not None
+  np.testing.assert_array_equal(out, vol)
+
+
+def test_replay_big_long_stream_two_key_sort(monkeypatch):
+  """A noisy 128^2 slice exceeds 16384 codepoints, which forces the
+  two-operand (depth, pos) lexicographic sort (the packed int32 key
+  would overflow)."""
+  import jax
+  from crackle_tpu.kernels import ccl_pallas
+  monkeypatch.setattr(ccl_pallas, "INTERPRET", True)
+  jax.clear_caches()
+  vol = random_volume((128, 128, 1), 2, 44, 0)
+  binary = crackle.compress(vol)
+  from crackle_tpu import codec
+  from crackle_tpu.lib import ctoi
+  code = codec.crack_codes(binary)[0]
+  n_cps = (len(code) - 4 - ctoi(code, 0, 4)) * 4
+  assert n_cps > 16384
+  out = engine.decode_window(binary, 0, 1)
+  assert out is not None
+  np.testing.assert_array_equal(out, vol)
+  jax.clear_caches()
