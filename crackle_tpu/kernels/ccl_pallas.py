@@ -261,6 +261,17 @@ def _ccl_paint_kernel(vcg_ref, t_ref, cc_ref, painted_ref, *, sx, sy,
       painted_ref[0, ch, y0:y1, :] = accs[ch]
 
 
+def _compiler_params(sx: int, sy: int):
+  """Mosaic's default scoped-VMEM cap is 16 MB; the unrolled log-step
+  sweep chains keep tens of (sy, sx) i32 buffers live at 512^2, which
+  the v5e's physical VMEM (128 MB) holds comfortably. Raise the cap
+  for large slices; leave the default for small ones."""
+  if sx * sy <= 128 * 1024:
+    return None
+  return pltpu.CompilerParams(
+    vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def ccl_batch_traced(vcg, sx: int, sy: int):
   """Trace-time entry: call inside an enclosing jit."""
   B = vcg.shape[0]
@@ -280,6 +291,7 @@ def ccl_batch_traced(vcg, sx: int, sy: int):
       out_specs=pl.BlockSpec((1, sy, sx), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
       out_shape=jax.ShapeDtypeStruct((B, sy, sx), jnp.int32),
+      compiler_params=_compiler_params(sx, sy),
       interpret=INTERPRET,
     )(v2)
   cc = cc.reshape(B, sy * sx)
@@ -323,6 +335,7 @@ def ccl_paint_traced(vcg, T, sx: int, sy: int):
         jax.ShapeDtypeStruct((B, sy, sx), jnp.int32),
         jax.ShapeDtypeStruct((B, K, sy, sx), jnp.int32),
       ],
+      compiler_params=_compiler_params(sx, sy),
       interpret=INTERPRET,
     )(v2, T)
   cc = cc.reshape(B, sy * sx)

@@ -9,9 +9,9 @@ restructured so VMEM stays bounded at any CAP:
 
   * every full-stream scan runs CHUNKED: a fori_loop walks (Rc, 128)
     row windows of the (R, 128) codepoint grid with the scan carries
-    held as (1, 1) vectors (no vector->scalar round trips); windows
-    read one lookahead row for the shift-left dependencies
-    (pair-second classification, depth-segment ends)
+    held as int32 scalars; windows read one lookahead row for the
+    shift-left dependencies (pair-second classification,
+    depth-segment ends)
   * sort keys are TWO int32 operands (depth, pos<<3|flags) sorted
     lexicographically — the packed single-key form overflows int32
     once depth*CAP*8 reaches 2^31, which caps it at CAP=16384
@@ -70,12 +70,14 @@ def _nseg(sx: int) -> int:
 
 
 def _bc11(v, shape):
-  """Broadcast a (1, 1) carry across a grid."""
-  return jax.lax.broadcast_in_dim(v, shape, (0, 1))
+  """Splat a scalar carry across a grid (Mosaic supports scalar
+  broadcasts; a (1, 1) vector at an arbitrary sublane/lane offset is
+  a both-axes broadcast it rejects)."""
+  return jnp.full(shape, v, jnp.int32)
 
 
 def _shift_right_v(v, fillv):
-  """Flat-order shift right with a (1, 1) traced fill for element 0."""
+  """Flat-order shift right with a traced scalar fill for element 0."""
   R, C = v.shape
   out = _flat_shift_right(v, 0)
   row = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
@@ -89,7 +91,7 @@ def _shift_right_v(v, fillv):
 
 def _classify_chunk(d, pos, n_cps, n_chains, carr):
   """One (Rw, 128) window of the stream classification. carr is a
-  tuple of (1, 1) int32 carries from the previous chunk's last true
+  tuple of int32 scalar carries from the previous chunk's last true
   element; returns (state dict, new carries evaluated at [Rc-1, C-1])
   where Rc = Rw - 1 (the last row is lookahead)."""
   (cps_c, prev_c, r_c, rs_c, c_c, cm_c, ie_c, ec_c) = carr
@@ -129,11 +131,9 @@ def _classify_chunk(d, pos, n_cps, n_chains, carr):
 
   e = Rw - 2  # last true row
   new_carr = (
-    cps[e:e + 1, C - 1:C], cps[e:e + 1, C - 1:C],
-    r[e:e + 1, C - 1:C],
-    run_start[e:e + 1, C - 1:C], c[e:e + 1, C - 1:C],
-    cm[e:e + 1, C - 1:C], is_end[e:e + 1, C - 1:C],
-    end_cum[e:e + 1, C - 1:C],
+    cps[e, C - 1], cps[e, C - 1], r[e, C - 1],
+    run_start[e, C - 1], c[e, C - 1],
+    cm[e, C - 1], is_end[e, C - 1], end_cum[e, C - 1],
   )
   st = dict(
     pos=pos, cps=cps, is_move=is_move, is_term=is_term,
@@ -144,7 +144,7 @@ def _classify_chunk(d, pos, n_cps, n_chains, carr):
 
 def _carr_init():
   def c11(v):
-    return jnp.full((1, 1), v, jnp.int32)
+    return jnp.int32(v)
   return (c11(0), c11(255), c11(0), c11(-1), c11(0), c11(_I32MAX),
           c11(0), c11(0))
 
@@ -244,9 +244,9 @@ def _scope_kernel(*refs, CAP, Rc, packed):
     tkey = ((isV * CAP + nc_full) << 1) | neg
     tk_ref[0, pl.ds(r0, Rc), :] = \
       jnp.where(ok > 0, tkey, PADK)[0:Rc]
-    return nc[0:1, 0:1]
+    return nc[0, 0]
 
-  init = jnp.full((1, 1), -1, jnp.int32)
+  init = jnp.int32(-1)
   if NCH == 1:
     chunk(0, init)
   else:
@@ -370,9 +370,9 @@ def _replay_kernel_big(cls_ref, stk_ref, limc_ref, nodes_ref, vh_ref,
           * jnp.where(ex >= 0, 1, 0) * jnp.where(ex < sxe, 1, 0))
     vh = jnp.where(ok > 0, vh, HIS * PAINT_LO)
     vh_ref[0, pl.ds(r0, Rc), :] = vh
-    return pos_after[Rc - 1:Rc, C - 1:C]
+    return pos_after[Rc - 1, C - 1]
 
-  init = jnp.zeros((1, 1), jnp.int32)
+  init = jnp.int32(0)
   if NCH == 1:
     chunk(0, init)
   else:

@@ -1,0 +1,56 @@
+"""Generate + compress the canonical benchmark volumes into
+bench_data/ (cached; the .ckl streams are committed, the raw .npy of
+the 512^3 volume is too large for git and is regenerated on demand).
+
+Run CPU-only: encode is host-side and the TPU tunnel must stay free.
+"""
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+  os.path.abspath(__file__))))
+from bench import BENCH_DIR, synthetic_connectomics  # noqa: E402
+
+
+def main():
+  import crackle_tpu as crackle
+  os.makedirs(BENCH_DIR, exist_ok=True)
+
+  # canonical 512^3 (the reference's headline benchmark shape,
+  # benchmarks/README.md:243-282)
+  path = os.path.join(BENCH_DIR, "connectomics_proxy_512x512x512.ckl")
+  if not os.path.exists(path):
+    t0 = time.time()
+    vol = synthetic_connectomics((512, 512, 512), 9600)
+    print(f"512^3 gen: {time.time() - t0:.0f}s", flush=True)
+    t0 = time.time()
+    binary = crackle.compress(vol)
+    print(f"512^3 encode: {time.time() - t0:.0f}s, "
+          f"ratio {len(binary) / vol.nbytes:.4%}", flush=True)
+    with open(path, "wb") as f:
+      f.write(binary)
+    del vol
+
+  # pathological binary noise (reference per-pattern table,
+  # benchmarks/README.md:148-241): 512^2 slices, ~300K codepoints
+  npath = os.path.join(BENCH_DIR, "binary_noise_512x512x16.ckl")
+  if not os.path.exists(npath):
+    rng = np.random.RandomState(99)
+    vol = np.asfortranarray(
+      rng.randint(0, 2, size=(512, 512, 16)).astype(np.uint32))
+    t0 = time.time()
+    binary = crackle.compress(vol)
+    print(f"noise encode: {time.time() - t0:.0f}s, "
+          f"ratio {len(binary) / vol.nbytes:.4%}", flush=True)
+    with open(npath, "wb") as f:
+      f.write(binary)
+  print("done", flush=True)
+
+
+if __name__ == "__main__":
+  main()
