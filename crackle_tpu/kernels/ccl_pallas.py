@@ -207,7 +207,12 @@ def _ccl_core(vcg_ref, cc_ref, *, sx, sy):
   # reaches every pixel through exactly the scan relays that carried
   # the component minimum in loop 1, so n_sweeps - 1 sweeps (the count
   # loop 1 needed before its no-change verify) are provably enough —
-  # no second convergence check.
+  # no second convergence check. (A dense init from the raster root
+  # prefix count was measured SLOWER on the 512^3 corpus: raster
+  # order interleaves other components' roots between nearly every
+  # pixel and its own root, so the dense bound is wrong almost
+  # everywhere and the convergence-check sweeps cost more than the
+  # fixed count.)
   R0 = jnp.where(is_root, rank, jnp.int32(_INT32_MAX))
   R = jax.lax.fori_loop(
     0, jnp.maximum(n_sweeps - 1, 1), lambda _i, Rv: sweep(Rv), R0)

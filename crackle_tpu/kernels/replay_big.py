@@ -12,14 +12,18 @@ restructured so VMEM stays bounded at any CAP:
     held as int32 scalars; windows read one lookahead row for the
     shift-left dependencies (pair-second classification,
     depth-segment ends)
-  * sort keys are TWO int32 operands (depth, pos<<3|flags) sorted
-    lexicographically — the packed single-key form overflows int32
-    once depth*CAP*8 reaches 2^31, which caps it at CAP=16384
-  * the scope-cancellation scatter no longer runs as one-hot matmuls
-    over all CAP bins (O(R^2) work): each move emits a target key
+  * sort keys adapt to CAP: one packed int32 key up to 16K
+    codepoints; a flagless int32 key (depth*CAP + pos, which fits
+    because depth <= n_cps/4 + chains + 2) plus an int8 flags VALUE
+    operand through a single-key sort up to 64K; two int32 keys
+    beyond
+  * the scope-cancellation scatter: each move emits a target key
     ((isV*CAP + close_pos) << 1 | sign), XLA sorts them, and a
-    windowed signed one-hot scatter (the same machinery as the paint)
-    accumulates the H/V cancel planes in O(CAP) matmul rows
+    windowed signed one-hot scatter (the same machinery as the
+    paint) accumulates the H/V cancel planes in O(CAP) matmul rows.
+    (An unsorted variant with per-group min/max windows was measured
+    ~9 subwindows/group on the 512^3 corpus — a depth segment's
+    closes span the whole raster — so the sort pays for itself.)
   * the edge-presence paint raster is segmented: plane-major bin rows
     (plane in {V, H}, segment = ex >> 9, dual row ey) keep the lane
     width at 512 for any sx; the in-kernel VCG assembly stitches
@@ -149,12 +153,15 @@ def _carr_init():
           c11(0), c11(0))
 
 
-def _keys_kernel_big(diffs_ref, meta_ref, *out_refs, CAP, Rc, packed):
-  if packed:
-    kd_ref, cls_ref = out_refs
-    kp_ref = None
-  else:
+def _keys_kernel_big(diffs_ref, meta_ref, *out_refs, CAP, Rc, mode):
+  if mode == "wide":
     kd_ref, kp_ref, cls_ref = out_refs
+  else:  # packed / mid: one int32 key (+ int8 flags for mid)
+    kp_ref = None
+    if mode == "mid":
+      kd_ref, kf_ref, cls_ref = out_refs
+    else:
+      kd_ref, cls_ref = out_refs
   C = LANES
   R = CAP // C
   NCH = R // Rc
@@ -172,16 +179,25 @@ def _keys_kernel_big(diffs_ref, meta_ref, *out_refs, CAP, Rc, packed):
     depth_evt = st["depth_after"] + st["is_term"]
     close = st["is_term"] * st["valid"]
     active = st["valid"] * jnp.minimum(st["is_move"] + st["is_term"], 1)
-    kp = (st["pos"] << 3) | (close << 2) | st["cps"]
-    if packed:
-      keys = (depth_evt * CAP + st["pos"]) * 8 + (close << 2) + st["cps"]
+    flags = (close << 2) | st["cps"]
+    if mode == "packed":
+      keys = (depth_evt * CAP + st["pos"]) * 8 + flags
       kd_ref[0, pl.ds(r0, Rc), :] = \
         jnp.where(active > 0, keys, _I32MAX)[0:Rc]
+    elif mode == "mid":
+      # depth_evt <= n_cps/4 + chains + 2 < 2^31 / CAP for CAP <= 2^16,
+      # so the flagless key fits int32; flags ride as an int8 value
+      # operand through the (cheaper) single-key sort
+      keys = depth_evt * CAP + st["pos"]
+      kd_ref[0, pl.ds(r0, Rc), :] = \
+        jnp.where(active > 0, keys, _I32MAX)[0:Rc]
+      kf_ref[0, pl.ds(r0, Rc), :] = flags.astype(jnp.int8)[0:Rc]
     else:
       kd_ref[0, pl.ds(r0, Rc), :] = \
         jnp.where(active > 0, depth_evt, _I32MAX)[0:Rc]
-      kp_ref[0, pl.ds(r0, Rc), :] = \
-        jnp.where(active > 0, kp, _I32MAX)[0:Rc]
+      kp_ref[0, pl.ds(r0, Rc), :] = jnp.where(
+        active > 0,
+        (st["pos"] << 3) | (close << 2) | st["cps"], _I32MAX)[0:Rc]
     cls_ref[0, pl.ds(r0, Rc), :] = \
       (st["cps"] | ((st["is_move"] * st["valid"]) << 2)
        | (st["chain_of"] << 3))[0:Rc]
@@ -194,15 +210,19 @@ def _keys_kernel_big(diffs_ref, meta_ref, *out_refs, CAP, Rc, packed):
 
 
 # ---------------------------------------------------------------------------
-# P2a: sorted keys -> per-move cancel-target keys (reverse chunked)
+# P2a: sorted keys -> per-move cancel targets (reverse chunked)
 # ---------------------------------------------------------------------------
 
-def _scope_kernel(*refs, CAP, Rc, packed):
-  if packed:
-    skd_ref, tk_ref = refs
+def _scope_kernel(*refs, CAP, Rc, mode):
+  if mode == "wide":
+    skd_ref, skp_ref, tk_ref = refs
+    skf_ref = None
+  elif mode == "mid":
+    skd_ref, skf_ref, tk_ref = refs
     skp_ref = None
   else:
-    skd_ref, skp_ref, tk_ref = refs
+    skd_ref, tk_ref = refs
+    skp_ref = skf_ref = None
   C = LANES
   R = CAP // C
   NCH = R // Rc
@@ -211,7 +231,7 @@ def _scope_kernel(*refs, CAP, Rc, packed):
   def chunk(i, carr_nc):
     k = (NCH - 1 - i) if NCH > 1 else 0
     r0 = pl.multiple_of(k * Rc, Rc)
-    if packed:
+    if mode == "packed":
       sk = skd_ref[0, pl.ds(r0, Rc + 1), :]
       inf = jnp.where(sk == _I32MAX, 1, 0)
       cps_s = sk & 3
@@ -219,6 +239,14 @@ def _scope_kernel(*refs, CAP, Rc, packed):
       body = sk >> 3
       pos_s = body & (CAP - 1)
       depth = body >> int(np.log2(CAP))
+    elif mode == "mid":
+      sk = skd_ref[0, pl.ds(r0, Rc + 1), :]
+      fl = skf_ref[0, pl.ds(r0, Rc + 1), :].astype(jnp.int32)
+      inf = jnp.where(sk == _I32MAX, 1, 0)
+      cps_s = fl & 3
+      close = ((fl >> 2) & 1) * (1 - inf)
+      pos_s = sk & (CAP - 1)
+      depth = sk >> int(np.log2(CAP))
     else:
       depth = skd_ref[0, pl.ds(r0, Rc + 1), :]
       kp = skp_ref[0, pl.ds(r0, Rc + 1), :]
@@ -237,6 +265,10 @@ def _scope_kernel(*refs, CAP, Rc, packed):
     nc = jnp.where(w < 0, _bc11(carr_nc, w.shape), w)
     nc_full = jnp.where(nc < 0, CAP, nc)
 
+    # cancel-target keys: measured on the 512^3 corpus, a depth
+    # segment's closes span the whole raster, so unsorted windows
+    # average ~9 subwindows/group vs 1-2 sorted — the sort pays for
+    # itself. Keys: ((isV*CAP + close_pos) << 1) | sign.
     move_s = (1 - inf) * (1 - close)
     ok = jnp.where((move_s > 0) & (nc_full < CAP), 1, 0)
     isV = jnp.where((cps_s == 0) | (cps_s == 2), 1, 0)
@@ -319,8 +351,8 @@ def _scatter_group(R):
 # P2b: cancel scatter + chunked position replay -> edge bin ids
 # ---------------------------------------------------------------------------
 
-def _replay_kernel_big(cls_ref, stk_ref, limc_ref, nodes_ref, vh_ref,
-                       acc_scr, *, CAP, Rc, sx, sy, NSEG, G):
+def _replay_kernel_big(cls_ref, stk_ref, limc_ref, nodes_ref,
+                       vh_ref, acc_scr, *, CAP, Rc, sx, sy, NSEG, G):
   C = LANES
   R = CAP // C
   NCH = R // Rc
@@ -465,7 +497,12 @@ def replay_vcg_i32_big(packed, nbytes, nodes, n_chains, sx, sy,
   NSEG = _nseg(sx)
   HIS = 2 * NSEG * (sy + 1)
   INTERPRET = ccl_pallas.INTERPRET
-  packed_keys = CAP <= 16384
+  # key mode: single packed int32 key up to 16K codepoints; flagless
+  # int32 key + int8 flags value up to 64K (depth <= n_cps/4 +
+  # MAX_CHAINS + 2 keeps depth*CAP + pos inside int32); two int32 keys
+  # beyond that
+  mode = ("packed" if CAP <= 16384
+          else ("mid" if CAP <= 65536 else "wide"))
 
   b = packed.astype(jnp.uint8)
   diffs = jnp.stack(
@@ -479,18 +516,18 @@ def replay_vcg_i32_big(packed, nbytes, nodes, n_chains, sx, sy,
     axis=1)[:, None, :]
   nodes_ = nodes.astype(jnp.int32)[:, None, :]
 
-  def pad_inf(x):
+  def pad_row(x, fill, dtype=jnp.int32):
     return jnp.concatenate(
       [x.reshape(B, R, LANES),
-       jnp.full((B, 1, LANES), _I32MAX, jnp.int32)], axis=1)
+       jnp.full((B, 1, LANES), fill, dtype)], axis=1)
 
   with jax.enable_x64(False):
-    n_keys = 1 if packed_keys else 2
-    keys_out = [jax.ShapeDtypeStruct((B, R, LANES), jnp.int32)
-                for _ in range(n_keys)]
+    n_outs = 2 if mode == "packed" else 3
+    key_dtypes = {"packed": [jnp.int32],
+                  "mid": [jnp.int32, jnp.int8],
+                  "wide": [jnp.int32, jnp.int32]}[mode]
     outs = pl.pallas_call(
-      functools.partial(_keys_kernel_big, CAP=CAP, Rc=Rc,
-                        packed=packed_keys),
+      functools.partial(_keys_kernel_big, CAP=CAP, Rc=Rc, mode=mode),
       grid=(B,),
       in_specs=[
         pl.BlockSpec((1, R + 1, LANES), lambda i: (i, 0, 0),
@@ -501,32 +538,39 @@ def replay_vcg_i32_big(packed, nbytes, nodes, n_chains, sx, sy,
       out_specs=[
         pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM)
-        for _ in range(n_keys + 1)
+        for _ in range(n_outs)
       ],
-      out_shape=keys_out + [
-        jax.ShapeDtypeStruct((B, R, LANES), jnp.int32)],
+      out_shape=[jax.ShapeDtypeStruct((B, R, LANES), dt)
+                 for dt in key_dtypes]
+      + [jax.ShapeDtypeStruct((B, R, LANES), jnp.int32)],
       interpret=INTERPRET,
     )(diffs, meta)
-    if packed_keys:
+    if mode == "packed":
       kd, cls = outs
       skd = jax.lax.sort(kd.reshape(B, CAP), dimension=1,
                          is_stable=False)
-      sorted_keys = [pad_inf(skd)]
+      sorted_keys = [pad_row(skd, _I32MAX)]
+    elif mode == "mid":
+      kd, kf, cls = outs
+      skd, skf = jax.lax.sort(
+        (kd.reshape(B, CAP), kf.reshape(B, CAP)), dimension=1,
+        is_stable=False, num_keys=1)
+      sorted_keys = [pad_row(skd, _I32MAX),
+                     pad_row(skf, 0, jnp.int8)]
     else:
       kd, kp, cls = outs
       skd, skp = jax.lax.sort(
         (kd.reshape(B, CAP), kp.reshape(B, CAP)), dimension=1,
         is_stable=False, num_keys=2)
-      sorted_keys = [pad_inf(skd), pad_inf(skp)]
+      sorted_keys = [pad_row(skd, _I32MAX), pad_row(skp, _I32MAX)]
 
     tk = pl.pallas_call(
-      functools.partial(_scope_kernel, CAP=CAP, Rc=Rc,
-                        packed=packed_keys),
+      functools.partial(_scope_kernel, CAP=CAP, Rc=Rc, mode=mode),
       grid=(B,),
       in_specs=[
         pl.BlockSpec((1, R + 1, LANES), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM)
-        for _ in range(n_keys)
+        for _ in range(len(sorted_keys))
       ],
       out_specs=pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),

@@ -181,27 +181,44 @@ int64_t crackle_trace_slice(
 ) {
   const int64_t sxe = sx + 1;
   const int64_t n = sxe * (sy + 1);
-  memset(scratch_adj, 0, n);
 
-  // build adjacency
+  // Build the corner adjacency branchlessly in two passes. The old
+  // per-pixel branch-and-scatter loop ran at ~70 ns/voxel and was
+  // 79% of the whole fused encode (measured: a constant slice cost
+  // 632 of 800 ms over the bench volume); equality bitmaps + a
+  // gather pass auto-vectorize.
+  //   vcrack(x, y): crack between pixels (x-1, y) and (x, y);
+  //     sets corner (x, y) bit 0b0100 and corner (x, y+1) bit 0b1000
+  //   hcrack(x, y): crack between pixels (x, y-1) and (x, y);
+  //     sets corner (x, y) bit 0b0001 and corner (x+1, y) bit 0b0010
+  thread_local std::vector<uint8_t> vbuf, hbuf;
+  if ((int64_t)vbuf.size() < sy * sxe) vbuf.resize(sy * sxe);
+  if ((int64_t)hbuf.size() < (sy + 1) * sxe) {
+    hbuf.resize((sy + 1) * sxe);
+  }
+  uint8_t* vb = vbuf.data();
+  uint8_t* hb = hbuf.data();
+  const uint8_t nperm = permissible ? 0 : 1;
+
   #define BUILD(T) do { \
     const T* L = reinterpret_cast<const T*>(labels); \
     for (int64_t y = 0; y < sy; y++) { \
+      const T* row = L + sx * y; \
+      uint8_t* vr = vb + sxe * y; \
+      vr[0] = 0; vr[sx] = 0; \
+      for (int64_t x = 1; x < sx; x++) { \
+        vr[x] = (uint8_t)(row[x] == row[x - 1]) ^ nperm; \
+      } \
+    } \
+    memset(hb, 0, sxe); \
+    memset(hb + sxe * sy, 0, sxe); \
+    for (int64_t y = 1; y < sy; y++) { \
+      const T* row = L + sx * y; \
+      const T* prow = L + sx * (y - 1); \
+      uint8_t* hr = hb + sxe * y; \
+      hr[sx] = 0; \
       for (int64_t x = 0; x < sx; x++) { \
-        if (x > 0) { \
-          bool eq = L[x + sx * y] == L[(x - 1) + sx * y]; \
-          if (eq == (permissible != 0)) { \
-            int64_t up = x + sxe * y, down = x + sxe * (y + 1); \
-            scratch_adj[up] |= 0b0100; scratch_adj[down] |= 0b1000; \
-          } \
-        } \
-        if (y > 0) { \
-          bool eq = L[x + sx * y] == L[x + sx * (y - 1)]; \
-          if (eq == (permissible != 0)) { \
-            int64_t left = x + sxe * y, right = (x + 1) + sxe * y; \
-            scratch_adj[left] |= 0b0001; scratch_adj[right] |= 0b0010; \
-          } \
-        } \
+        hr[x] = (uint8_t)(row[x] == prow[x]) ^ nperm; \
       } \
     } \
   } while (0)
@@ -214,6 +231,31 @@ int64_t crackle_trace_slice(
     default: return -2;
   }
   #undef BUILD
+
+  for (int64_t cy = 0; cy <= sy; cy++) {
+    uint8_t* arow = scratch_adj + sxe * cy;
+    const uint8_t* v0 = (cy < sy) ? vb + sxe * cy : nullptr;
+    const uint8_t* v1 = (cy > 0) ? vb + sxe * (cy - 1) : nullptr;
+    const uint8_t* hr = hb + sxe * cy;
+    arow[0] = (uint8_t)(((v0 ? v0[0] : 0) << 2)
+                        | ((v1 ? v1[0] : 0) << 3) | hr[0]);
+    if (v0 && v1) {
+      for (int64_t cx = 1; cx < sxe; cx++) {
+        arow[cx] = (uint8_t)((v0[cx] << 2) | (v1[cx] << 3)
+                             | hr[cx] | (hr[cx - 1] << 1));
+      }
+    } else if (v0) {  // cy == 0
+      for (int64_t cx = 1; cx < sxe; cx++) {
+        arow[cx] = (uint8_t)((v0[cx] << 2)
+                             | hr[cx] | (hr[cx - 1] << 1));
+      }
+    } else {  // cy == sy
+      for (int64_t cx = 1; cx < sxe; cx++) {
+        arow[cx] = (uint8_t)((v1[cx] << 3)
+                             | hr[cx] | (hr[cx - 1] << 1));
+      }
+    }
+  }
 
   // per-thread scratch: a fresh vector would zero max_chains*8
   // bytes (~0.5 MB) on every slice
