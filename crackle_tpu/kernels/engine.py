@@ -93,12 +93,10 @@ def prepare_slice_inputs(binary: bytes, z_start: int, z_end: int):
   }
 
 
-def decode_window_ccl(binary: bytes, z_start: int, z_end: int,
-                      check_crcs: bool = True):
-  """Decode a z window to per-slice first-visit CCL images on device.
-
-  Returns (cc (B, sy*sx) int32 numpy, N (B,) numpy) or None for
-  fallback streams."""
+def decode_window_ccl_device(binary: bytes, z_start: int, z_end: int):
+  """Decode a z window to per-slice first-visit CCL images that STAY
+  on device. Returns (cc (B, sy*sx) int32, N (B,) int32, head) —
+  the batched input for device analytics (kernels/stats_pallas.py)."""
   inputs = prepare_slice_inputs(binary, z_start, z_end)
   if inputs is None:
     return None
@@ -109,6 +107,19 @@ def decode_window_ccl(binary: bytes, z_start: int, z_end: int,
     jnp.asarray(inputs["nodes"]), jnp.asarray(inputs["n_chains"]),
     sx=head.sx, sy=head.sy, permissible=permissible,
   )
+  return cc, N, head
+
+
+def decode_window_ccl(binary: bytes, z_start: int, z_end: int,
+                      check_crcs: bool = True):
+  """Decode a z window to per-slice first-visit CCL images on device.
+
+  Returns (cc (B, sy*sx) int32 numpy, N (B,) numpy) or None for
+  fallback streams."""
+  res = decode_window_ccl_device(binary, z_start, z_end)
+  if res is None:
+    return None
+  cc, N, head = res
   cc = np.asarray(cc)
   N = np.asarray(N)
 

@@ -54,6 +54,68 @@ def for_each_z(binary: bytes, z_start: int = -1, z_end: int = -1):
     yield vcg, ccl, N, label_map, z
 
 
+# ---------------------------------------------------------------------------
+# batched device statistics (TPU fast path)
+# ---------------------------------------------------------------------------
+
+_DEVICE_WINDOW = 256  # z slices per device stats batch
+
+
+def _use_device_stats() -> bool:
+  from ..kernels import ccl_pallas
+  if ccl_pallas._NO_PALLAS:
+    return False
+  if ccl_pallas.INTERPRET:
+    return True
+  import jax
+  return jax.default_backend() == "tpu"
+
+
+def _device_label_stats(binary: bytes):
+  """Whole-volume per-(slice, component) stats on device.
+
+  Yields (stats (B, cap_n, 8) f32 numpy, key_idx (B, cap_n) int64,
+  n_per (B,) int64, z0) per z window, plus the uniq table first:
+  the first yield is (uniq,). Returns None-equivalent by yielding
+  nothing when the stream is not eligible."""
+  from ..kernels import engine as _engine, stats_pallas, ccl_pallas
+  head = codec.header(binary)
+  if head.label_format != LabelFormat.FLAT:
+    return
+  if not ccl_pallas.use_pallas(head.sx, head.sy):
+    return
+  uniq, cum, keys = _engine._flat_label_tables(head, binary)
+  n_per = cum[1:] - cum[:-1]
+  cap_n = _engine._next_pow2(
+    max(int(n_per.max()) if head.sz else 1, 8))
+  if not stats_pallas.eligible(head.sx, head.sy, cap_n):
+    return
+  yield (uniq,)
+  for z0 in range(0, head.sz, _DEVICE_WINDOW):
+    z1 = _min(z0 + _DEVICE_WINDOW, head.sz)
+    res = _engine.decode_window_ccl_device(binary, z0, z1)
+    if res is None:
+      return
+    cc_dev, _N, _ = res
+    stats = np.asarray(stats_pallas.slice_stats(
+      cc_dev, head.sx, head.sy, cap_n))
+    B = z1 - z0
+    key_idx = np.zeros((B, cap_n), np.int64)
+    for i, z in enumerate(range(z0, z1)):
+      n = int(n_per[z])
+      key_idx[i, :n] = keys[cum[z]:cum[z] + n]
+    yield stats, key_idx, n_per[z0:z1], z0
+
+
+def _device_stats_run(binary: bytes):
+  """Collect the device stats generator; None if ineligible."""
+  gen = _device_label_stats(binary)
+  first = next(gen, None)
+  if first is None:
+    return None
+  return first[0], gen
+
+
 def voxel_counts(binary: bytes, label: Optional[int] = None,
                  parallel: int = 0) -> Union[Dict[int, int], int]:
   """Voxels per label (operations.hpp:321-419 parity)."""
@@ -69,11 +131,28 @@ def voxel_counts(binary: bytes, label: Optional[int] = None,
     single = int(codec.labels(binary)[0])
     vcts = {single: head.voxels()}
   else:
-    vcts: Dict[int, int] = {}
-    for vcg, ccl, N, label_map, z in for_each_z(binary, z_start, z_end):
-      sub = np.bincount(ccl, minlength=N)
-      for lbl, ct in zip(label_map.tolist(), sub.tolist()):
-        vcts[lbl] = vcts.get(lbl, 0) + ct
+    vcts = None
+    if label is None and _use_device_stats():
+      dev = _device_stats_run(binary)
+      if dev is not None:
+        from ..kernels.stats_pallas import CH_COUNT
+        uniq, gen = dev
+        agg = np.zeros(len(uniq), np.int64)
+        for stats, key_idx, n_per, z0 in gen:
+          counts = stats[:, :, CH_COUNT].astype(np.int64)
+          mask = (np.arange(counts.shape[1])[None, :]
+                  < np.asarray(n_per)[:, None])
+          np.add.at(agg, key_idx[mask], counts[mask])
+        vcts = dict(zip(
+          (int(u) for u in uniq.tolist()),
+          (int(c) for c in agg.tolist())))
+    if vcts is None:
+      vcts: Dict[int, int] = {}
+      for vcg, ccl, N, label_map, z in for_each_z(binary, z_start,
+                                                  z_end):
+        sub = np.bincount(ccl, minlength=N)
+        for lbl, ct in zip(label_map.tolist(), sub.tolist()):
+          vcts[lbl] = vcts.get(lbl, 0) + ct
   if label is not None:
     return vcts[label]
   return vcts
@@ -91,6 +170,32 @@ def centroids(binary: bytes, label: Optional[int] = None,
 
   head = codec.header(binary)
   sx = head.sx
+
+  if label is None and _use_device_stats():
+    dev = _device_stats_run(binary)
+    if dev is not None:
+      from ..kernels.stats_pallas import CH_COUNT, CH_XSUM, CH_YSUM
+      uniq, gen = dev
+      agg = np.zeros((len(uniq), 4), np.float64)
+      for stats, key_idx, n_per, z0 in gen:
+        B, cap_n, _ = stats.shape
+        mask = (np.arange(cap_n)[None, :]
+                < np.asarray(n_per)[:, None])
+        cnt = stats[:, :, CH_COUNT].astype(np.float64)
+        zs = np.broadcast_to(
+          (z0 + np.arange(B, dtype=np.float64))[:, None], cnt.shape)
+        ki = key_idx[mask]
+        np.add.at(agg[:, 0], ki, stats[:, :, CH_XSUM].astype(
+          np.float64)[mask])
+        np.add.at(agg[:, 1], ki, stats[:, :, CH_YSUM].astype(
+          np.float64)[mask])
+        np.add.at(agg[:, 2], ki, (zs * cnt)[mask])
+        np.add.at(agg[:, 3], ki, cnt[mask])
+      return {
+        int(lbl): (a[0] / a[3], a[1] / a[3], a[2] / a[3])
+        for lbl, a in zip(uniq.tolist(), agg)
+      }
+
   acc: Dict[int, np.ndarray] = {}
   for vcg, ccl, N, label_map, z in for_each_z(binary, z_start, z_end):
     idx = np.arange(len(ccl))
@@ -136,34 +241,71 @@ def bounding_boxes(binary: bytes, label: Optional[int] = None,
                        dtype=np.uint32),
     }
   else:
-    bboxes: Dict[int, np.ndarray] = {}
-    for vcg, ccl, N, label_map, z in for_each_z(binary, z_start, z_end):
-      idx = np.arange(len(ccl))
-      xs = idx % sx
-      ys = idx // sx
-      INT = np.iinfo(np.int64).max
-      xmin = np.full(N, INT)
-      ymin = np.full(N, INT)
-      xmax = np.zeros(N, dtype=np.int64)
-      ymax = np.zeros(N, dtype=np.int64)
-      np.minimum.at(xmin, ccl, xs)
-      np.minimum.at(ymin, ccl, ys)
-      np.maximum.at(xmax, ccl, xs)
-      np.maximum.at(ymax, ccl, ys)
-      for i, lbl in enumerate(label_map.tolist()):
-        if lbl in bboxes:
-          b = bboxes[lbl]
-          b[0] = _min(b[0], xmin[i])
-          b[1] = _min(b[1], ymin[i])
-          b[2] = _min(b[2], z)
-          b[3] = _max(b[3], xmax[i])
-          b[4] = _max(b[4], ymax[i])
-          b[5] = _max(b[5], z)
-        else:
-          bboxes[lbl] = np.array(
-            [xmin[i], ymin[i], z, xmax[i], ymax[i], z], dtype=np.int64
-          )
-    bboxes = {k: v.astype(np.uint32) for k, v in bboxes.items()}
+    bboxes = None
+    if label is None and _use_device_stats():
+      dev = _device_stats_run(binary)
+      if dev is not None:
+        from ..kernels.stats_pallas import (
+          CH_XMIN, CH_XMAX, CH_YMIN, CH_YMAX)
+        uniq, gen = dev
+        INT = np.int64(np.iinfo(np.int64).max)
+        mins = np.full((len(uniq), 3), INT)
+        maxs = np.full((len(uniq), 3), -1, np.int64)
+        for stats, key_idx, n_per, z0 in gen:
+          B, cap_n, _ = stats.shape
+          mask = (np.arange(cap_n)[None, :]
+                  < np.asarray(n_per)[:, None])
+          zs = np.broadcast_to(
+            (z0 + np.arange(B))[:, None], mask.shape)
+          ki = key_idx[mask]
+          # pads carry +3e38 sentinels; clip before the int cast
+          xmn = np.minimum(stats[:, :, CH_XMIN], 2.0**31)
+          ymn = np.minimum(stats[:, :, CH_YMIN], 2.0**31)
+          np.minimum.at(mins[:, 0], ki, xmn.astype(np.int64)[mask])
+          np.minimum.at(mins[:, 1], ki, ymn.astype(np.int64)[mask])
+          np.minimum.at(mins[:, 2], ki, zs[mask])
+          np.maximum.at(maxs[:, 0], ki,
+                        stats[:, :, CH_XMAX].astype(np.int64)[mask])
+          np.maximum.at(maxs[:, 1], ki,
+                        stats[:, :, CH_YMAX].astype(np.int64)[mask])
+          np.maximum.at(maxs[:, 2], ki, zs[mask])
+        bboxes = {
+          int(lbl): np.array(
+            [mins[i, 0], mins[i, 1], mins[i, 2],
+             maxs[i, 0], maxs[i, 1], maxs[i, 2]], dtype=np.uint32)
+          for i, lbl in enumerate(uniq.tolist())
+        }
+    if bboxes is None:
+      bboxes = {}
+      for vcg, ccl, N, label_map, z in for_each_z(binary, z_start,
+                                                  z_end):
+        idx = np.arange(len(ccl))
+        xs = idx % sx
+        ys = idx // sx
+        INT = np.iinfo(np.int64).max
+        xmin = np.full(N, INT)
+        ymin = np.full(N, INT)
+        xmax = np.zeros(N, dtype=np.int64)
+        ymax = np.zeros(N, dtype=np.int64)
+        np.minimum.at(xmin, ccl, xs)
+        np.minimum.at(ymin, ccl, ys)
+        np.maximum.at(xmax, ccl, xs)
+        np.maximum.at(ymax, ccl, ys)
+        for i, lbl in enumerate(label_map.tolist()):
+          if lbl in bboxes:
+            b = bboxes[lbl]
+            b[0] = _min(b[0], xmin[i])
+            b[1] = _min(b[1], ymin[i])
+            b[2] = _min(b[2], z)
+            b[3] = _max(b[3], xmax[i])
+            b[4] = _max(b[4], ymax[i])
+            b[5] = _max(b[5], z)
+          else:
+            bboxes[lbl] = np.array(
+              [xmin[i], ymin[i], z, xmax[i], ymax[i], z],
+              dtype=np.int64
+            )
+      bboxes = {k: v.astype(np.uint32) for k, v in bboxes.items()}
 
   if no_slice_conversion:
     if label is not None:

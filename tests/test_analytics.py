@@ -259,3 +259,37 @@ def test_save_load(tmp_path):
   np.testing.assert_array_equal(out, vol)
   arr = crackle.aload(p)
   np.testing.assert_array_equal(arr[:, :, :], vol)
+
+
+# ---------------------------------------------------------------------------
+# batched device statistics (kernels/stats_pallas.py)
+# ---------------------------------------------------------------------------
+
+def test_device_stats_match_host(monkeypatch):
+  """voxel_counts / centroids / bounding_boxes through the device
+  stripe-windowed stats kernel must equal the host loop exactly."""
+  import jax
+  import crackle_tpu.ops.analytics as A
+  from crackle_tpu.kernels import ccl_pallas
+  monkeypatch.setattr(ccl_pallas, "INTERPRET", True)
+  jax.clear_caches()
+
+  vol = random_volume((40, 24, 6), 7, 51, 5)
+  binary = crackle.compress(vol)
+  vc_d = A.voxel_counts(binary)
+  cen_d = A.centroids(binary)
+  bb_d = A.bounding_boxes(binary, no_slice_conversion=True)
+
+  monkeypatch.setattr(A, "_use_device_stats", lambda: False)
+  vc_h = A.voxel_counts(binary)
+  cen_h = A.centroids(binary)
+  bb_h = A.bounding_boxes(binary, no_slice_conversion=True)
+
+  assert vc_d == vc_h
+  assert set(cen_d) == set(cen_h)
+  for k in cen_h:
+    np.testing.assert_allclose(cen_d[k], cen_h[k], rtol=1e-12)
+  assert set(bb_d) == set(bb_h)
+  for k in bb_h:
+    np.testing.assert_array_equal(bb_d[k], bb_h[k])
+  jax.clear_caches()
