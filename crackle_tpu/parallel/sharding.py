@@ -75,32 +75,113 @@ def decode_window_ccl_sharded(binary: bytes, z_start: int, z_end: int,
   return np.asarray(cc)[:B], np.asarray(N)[:B], head
 
 
+def sharded_decode_labels(binary: bytes, z_start: int, z_end: int,
+                          mesh: Optional[Mesh] = None):
+  """Full decode of a z window — crack replay, CCL AND label painting
+  all on device under shard_map (slices data-parallel over the mesh;
+  label tables replicated). Returns (labels device array (B, sy*sx)
+  with u64 labels as (lo, hi) planes combined, head) or None.
+
+  This is the serving path the reference thread-pools per slice
+  (crackle.hpp:584-658); nothing round-trips to the host between the
+  packed bytes and the painted labels."""
+  if mesh is None:
+    mesh = make_mesh()
+  axis = mesh.axis_names[0]
+  ndev = mesh.devices.size
+
+  head = _codec.header(binary)
+  inputs = _engine.prepare_slice_inputs(binary, z_start, z_end)
+  if inputs is None:
+    return None
+  B = z_end - z_start
+  inputs, Bp = _pad_batch(inputs, B, ndev)
+  permissible = head.crack_format == CrackFormat.PERMISSIBLE
+  batch = NamedSharding(mesh, P(axis))
+  repl = NamedSharding(mesh, P())
+  sharded = {
+    k: jax.device_put(jnp.asarray(inputs[k]), batch)
+    for k in ("packed", "nbytes", "nodes", "n_chains")
+  }
+
+  if head.label_format == LabelFormat.FLAT:
+    uniq, cum, keys = _engine._flat_label_tables(head, binary)
+    wide = uniq.dtype.itemsize > 4
+    offs = np.pad(cum[z_start:z_end].astype(np.int32),
+                  (0, Bp - B)).astype(np.int32)
+    u64 = uniq.astype(np.uint64)
+    lo = (u64 & 0xffffffff).astype(np.uint32)
+    hi = (u64 >> 32).astype(np.uint32)
+
+    def step(packed, nbytes, nodes, n_chains, offs, keys, lo, hi):
+      cc, _N = _dec.decode_slices_to_ccl.__wrapped__(
+        packed, nbytes, nodes, n_chains, sx=head.sx, sy=head.sy,
+        permissible=permissible)
+      ki = keys[cc + offs[:, None]]
+      labels = lo[ki].astype(jnp.uint64)
+      if wide:
+        labels = labels | (hi[ki].astype(jnp.uint64) << 32)
+      return labels if wide else lo[ki]
+
+    fn = jax.jit(jax.shard_map(
+      step, mesh=mesh,
+      in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(),
+                P(), P()),
+      out_specs=P(axis), check_vma=False,
+    ))
+    labels = fn(
+      sharded["packed"], sharded["nbytes"], sharded["nodes"],
+      sharded["n_chains"], jax.device_put(jnp.asarray(offs), batch),
+      jax.device_put(jnp.asarray(keys.astype(jnp.int32)), repl),
+      jax.device_put(jnp.asarray(lo), repl),
+      jax.device_put(jnp.asarray(hi), repl),
+    )
+    return labels[:B], head
+
+  if head.label_format != LabelFormat.PINS_VARIABLE_WIDTH:
+    return None
+  tables = _engine._pins_device_tables(head, binary, z_start, z_end)
+  if tables is None:
+    return None
+  pin_locs, pin_labs, single_ids, single_labs, bg32, cap_n = tables
+  pad = Bp - B
+
+  def padb(a):
+    return jax.device_put(
+      jnp.asarray(np.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1),
+                         constant_values=-1 if a is pin_locs
+                         or a is single_ids else 0)), batch)
+
+  def step_p(packed, nbytes, nodes, n_chains, pl_, pb_, si_, sl_):
+    labels, _cc, _N = _dec.decode_slices_full_pins.__wrapped__(
+      packed, nbytes, nodes, n_chains, pl_, pb_, si_, sl_,
+      jnp.int32(bg32), sx=head.sx, sy=head.sy,
+      permissible=permissible, cap_n=cap_n)
+    return labels
+
+  fnp = jax.jit(jax.shard_map(
+    step_p, mesh=mesh,
+    in_specs=(P(axis),) * 8, out_specs=P(axis), check_vma=False,
+  ))
+  labels = fnp(
+    sharded["packed"], sharded["nbytes"], sharded["nodes"],
+    sharded["n_chains"], padb(pin_locs), padb(pin_labs),
+    padb(single_ids), padb(single_labs),
+  )
+  return labels[:B], head
+
+
 def decompress_sharded(binary: bytes, mesh: Optional[Mesh] = None
                        ) -> Optional[np.ndarray]:
-  """Decode the full volume with z-slices sharded across the mesh."""
+  """Decode the full volume with z-slices sharded across the mesh;
+  the label paint happens on device inside the sharded step (no host
+  cc gather)."""
   head = _codec.header(binary)
-  if head.label_format != LabelFormat.FLAT:
-    return None
-  res = decode_window_ccl_sharded(binary, 0, head.sz, mesh)
+  res = sharded_decode_labels(binary, 0, head.sz, mesh)
   if res is None:
     return None
-  cc, N, head = res
-
-  lb = bytes(_codec.raw_labels(binary))
-  n_labels = _labels_ops.decode_num_labels(head, lb)
-  uniq = _labels_ops.decode_uniq(head, lb)
-  cpg = _labels_ops.components_per_grid(head, lb).astype(np.int64)
-  cum = np.concatenate([[0], np.cumsum(cpg)])
-  offset = (8 + n_labels * head.stored_data_width
-            + head.component_width() * head.num_grids())
-  keys = np.frombuffer(lb, offset=offset, dtype=compute_dtype(n_labels))
-
-  key_idx = np.asarray(_dec.paint_keys(
-    jnp.asarray(cc), jnp.asarray(N),
-    jnp.asarray(cum[:head.sz].astype(np.int32)),
-    jnp.asarray(keys.astype(np.int32)),
-  ))
-  out = uniq[key_idx].astype(head.dtype, copy=False)
+  labels, head = res
+  out = np.asarray(labels).astype(head.dtype, copy=False)
   vol = out.reshape(head.sz, head.sy, head.sx).transpose(2, 1, 0)
   return np.asfortranarray(vol) if head.fortran_order else \
       np.ascontiguousarray(vol)

@@ -89,3 +89,24 @@ def test_sharded_roundtrip_step_runs():
   np.testing.assert_array_equal(
     np.asarray(z_index), inputs["nbytes"]
   )
+
+
+def test_decompress_sharded_formats():
+  """The sharded full decode (device-side paint) handles pins, markov,
+  u64 and unaligned-z streams (shard count does not divide sz)."""
+  import crackle_tpu as crackle
+  from crackle_tpu import parallel
+  mesh = parallel.make_mesh()
+  for kwargs, dtype, off, sz in [
+      (dict(allow_pins=1), np.uint32, 0, 8),
+      (dict(markov_model_order=5), np.uint32, 0, 8),
+      (dict(), np.uint64, 2 ** 40, 8),
+      (dict(), np.uint32, 0, 11),  # 11 % 8 != 0
+  ]:
+    vol = random_volume((18, 14, sz), 5, 7, 5, dtype=dtype)
+    if off:
+      vol = vol + dtype(off)
+    binary = crackle.compress(np.asfortranarray(vol), **kwargs)
+    out = parallel.decompress_sharded(binary, mesh)
+    assert out is not None
+    np.testing.assert_array_equal(out, crackle.decompress(binary))
