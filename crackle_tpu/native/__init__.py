@@ -75,6 +75,10 @@ def load():
   lib.crackle_markov_encode.argtypes = [p, i64, p, i64, p, i64]
   lib.crackle_decompress_stream.restype = i64
   lib.crackle_decompress_stream.argtypes = [p, i64, i64, i64, p, i64]
+  lib.crackle_compress_stream.restype = i64
+  lib.crackle_compress_stream.argtypes = [
+    p, i32, i64, i64, i64, i32, p, i64,
+  ]
 
   _lib = lib
   return _lib
@@ -289,3 +293,23 @@ def decompress_stream(binary: bytes, z_start: int, z_end: int,
   if rc == -4:
     raise ValueError("crackle: crc mismatch during native decode")
   return None
+
+
+def compress_stream(flat: np.ndarray, sx: int, sy: int, sz: int,
+                    fortran_order: bool = True):
+  """Fully-native FLAT compress of an F-order flat label array (the
+  wasm port's encode entry; byte-identical to codec.compress for
+  flat non-markov streams). Returns bytes or None."""
+  lib = load()
+  if lib is None:
+    return None
+  flat = np.ascontiguousarray(flat)
+  cap = int(flat.nbytes * 2 + 64 * (sz + 1) + 4096)
+  out = np.zeros(cap, np.uint8)
+  n = lib.crackle_compress_stream(
+    _ptr(flat), flat.dtype.itemsize, sx, sy, sz,
+    int(fortran_order), _ptr(out), cap,
+  )
+  if n < 0:
+    return None
+  return out[:n].tobytes()

@@ -1122,4 +1122,168 @@ int64_t crackle_decompress_stream(
   return 0;
 }
 
+
+// Self-contained stream compressor (C ABI): flat labels, no markov,
+// auto crack-format choice — the encode counterpart of
+// crackle_decompress_stream, and the core of the wasm port
+// (reference: wasm/crackle_wasm.cc compress entry; format assembly
+// mirrors crackle.hpp:34-217 / labels.hpp:30-155 and is
+// byte-identical to the python _encode_flat_fused pipeline).
+// labels: width-byte little-endian voxels, FORTRAN flat order.
+// Returns stream byte length, or -1 overflow / -2 bad width.
+int64_t crackle_compress_stream(
+  const void* labels, int32_t data_width,
+  int64_t sx, int64_t sy, int64_t sz,
+  int32_t fortran_order,
+  uint8_t* out, int64_t out_cap
+) {
+  if (data_width != 1 && data_width != 2 && data_width != 4 &&
+      data_width != 8) {
+    return -2;
+  }
+  const int64_t sxy = sx * sy;
+  const int64_t voxels = sxy * sz;
+
+  // format choice: stored width from max label; permissible iff
+  // fewer than half of consecutive F-order voxel pairs are equal
+  uint64_t max_label = 0;
+  int64_t num_pairs = 0;
+  #define SCAN(T) do { \
+    const T* L = reinterpret_cast<const T*>(labels); \
+    for (int64_t i = 0; i < voxels; i++) { \
+      if ((uint64_t)L[i] > max_label) max_label = (uint64_t)L[i]; \
+      if (i > 0 && L[i] == L[i - 1]) num_pairs++; \
+    } \
+  } while (0)
+  switch (data_width) {
+    case 1: SCAN(uint8_t); break;
+    case 2: SCAN(uint16_t); break;
+    case 4: SCAN(uint32_t); break;
+    case 8: SCAN(uint64_t); break;
+  }
+  #undef SCAN
+  const int stored_width = byte_width(max_label);
+  const bool permissible = (voxels > 0) && (num_pairs < voxels / 2);
+
+  auto write_header = [&](uint64_t num_label_bytes) {
+    out[0] = 'c'; out[1] = 'r'; out[2] = 'k'; out[3] = 'l';
+    out[4] = 1;
+    auto lg = [](int w) { return w == 1 ? 0 : w == 2 ? 1
+                               : w == 4 ? 2 : 3; };
+    uint16_t fmt = (uint16_t)(
+      lg(data_width) | (lg(stored_width) << 2)
+      | ((permissible ? 1 : 0) << 4) | (0 << 5)            // flat
+      | ((fortran_order ? 1 : 0) << 7) | (0 << 8)          // unsigned
+      | (0 << 9)                                           // markov 0
+      | (0 << 13));                                        // sorted
+    out[5] = (uint8_t)(fmt & 0xFF); out[6] = (uint8_t)(fmt >> 8);
+    auto put32 = [&](int off, uint64_t v) {
+      for (int i = 0; i < 4; i++) out[off + i] = (uint8_t)(v >> (8 * i));
+    };
+    put32(7, (uint64_t)sx); put32(11, (uint64_t)sy);
+    put32(15, (uint64_t)sz);
+    out[19] = 31;  // log2(grid_size): whole-slice grids
+    for (int i = 0; i < 8; i++) {
+      out[20 + i] = (uint8_t)(num_label_bytes >> (8 * i));
+    }
+    // crc8 poly 0xe7 init 0xFF over bytes [5, 28)
+    uint8_t crc = 0xFF;
+    for (int i = 5; i < 28; i++) {
+      crc ^= out[i];
+      for (int k = 0; k < 8; k++) {
+        crc = (crc & 1) ? (uint8_t)((crc >> 1) ^ 0xe7)
+                        : (uint8_t)(crc >> 1);
+      }
+    }
+    out[28] = crc;
+  };
+
+  if (voxels == 0) {
+    if (out_cap < 29) return -1;
+    write_header(0);
+    return 29;
+  }
+
+  // per-slice fused encode
+  const int64_t n_corners = (sx + 1) * (sy + 1);
+  const int64_t sym_cap = (16 * sxy + 64) > 4096 ? 16 * sxy + 64 : 4096;
+  const int64_t cps_cap = sym_cap * 2;
+  const int64_t max_chains = sxy + 8;
+  const int64_t code_cap = cps_cap / 4 + 16 * max_chains + 64;
+  std::vector<uint8_t> adj(n_corners), symbols(sym_cap), cps(cps_cap);
+  std::vector<int64_t> nodes(max_chains), cp_lens(max_chains);
+  std::vector<uint8_t> code(code_cap);
+  std::vector<uint32_t> cc(sxy);
+  std::vector<uint64_t> map_scratch(sxy);
+  int64_t out_n = 0;
+
+  std::vector<std::vector<uint8_t>> codes(sz);
+  std::vector<uint32_t> crack_crcs(sz);
+  std::vector<uint64_t> mapping;
+  std::vector<uint64_t> nums(sz);
+  for (int64_t z = 0; z < sz; z++) {
+    const uint8_t* lz = reinterpret_cast<const uint8_t*>(labels)
+                        + z * sxy * data_width;
+    int64_t code_len = crackle_encode_slice(
+      lz, data_width, sx, sy, permissible ? 1 : 0,
+      adj.data(), symbols.data(), sym_cap, cps.data(), cps_cap,
+      nodes.data(), cp_lens.data(), max_chains,
+      code.data(), code_cap, cc.data(), map_scratch.data(), &out_n);
+    if (code_len < 0) return code_len;
+    codes[z].assign(code.data(), code.data() + code_len);
+    crack_crcs[z] = crc32c(
+      reinterpret_cast<const uint8_t*>(cc.data()), sxy * 4);
+    nums[z] = (uint64_t)out_n;
+    mapping.insert(mapping.end(), map_scratch.data(),
+                   map_scratch.data() + out_n);
+  }
+
+  // global sorted unique + keys
+  std::vector<uint64_t> uniq(mapping);
+  std::sort(uniq.begin(), uniq.end());
+  uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
+  const int key_width = byte_width((uint64_t)uniq.size());
+  const int component_width = byte_width((uint64_t)sxy);
+
+  const uint64_t num_label_bytes =
+    8 + uniq.size() * stored_width + sz * component_width
+    + mapping.size() * key_width;
+
+  int64_t total = 29 + 4 * sz + 4 + (int64_t)num_label_bytes;
+  for (int64_t z = 0; z < sz; z++) total += (int64_t)codes[z].size();
+  total += 4 + 4 * sz;
+  if (total > out_cap) return -1;
+
+  write_header(num_label_bytes);
+  uint8_t* w = out + 29;
+  auto put = [&](uint64_t v, int width) {
+    for (int i = 0; i < width; i++) {
+      *w++ = (uint8_t)(v & 0xFF); v >>= 8;
+    }
+  };
+  // z-index + crc
+  uint8_t* zidx = w;
+  for (int64_t z = 0; z < sz; z++) put((uint64_t)codes[z].size(), 4);
+  put(crc32c(zidx, 4 * sz), 4);
+  // labels section
+  uint8_t* lstart = w;
+  put(uniq.size(), 8);
+  for (uint64_t u : uniq) put(u, stored_width);
+  for (int64_t z = 0; z < sz; z++) put(nums[z], component_width);
+  for (uint64_t m : mapping) {
+    uint64_t k = (uint64_t)(std::lower_bound(uniq.begin(), uniq.end(),
+                                             m) - uniq.begin());
+    put(k, key_width);
+  }
+  uint32_t labels_crc = crc32c(lstart, (size_t)(w - lstart));
+  // crack codes
+  for (int64_t z = 0; z < sz; z++) {
+    memcpy(w, codes[z].data(), codes[z].size());
+    w += codes[z].size();
+  }
+  put(labels_crc, 4);
+  for (int64_t z = 0; z < sz; z++) put(crack_crcs[z], 4);
+  return w - out;
+}
+
 }  // extern "C"
