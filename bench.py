@@ -1,21 +1,26 @@
-"""Benchmark: decode throughput of the TPU engine on a synthetic
-connectomics-like volume.
+"""Benchmark: decode throughput of the TPU engine on the reference's
+CANONICAL benchmark shape — a 512^3 connectomics-like volume
+(benchmarks/README.md:243-282 uses 512^3 connectomics.npy).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The primary metric is decode throughput from an HBM-resident
-compressed stream (engine.DeviceStream): the compressed binary (~2%
-of raw) is uploaded once, then z-windows decode entirely on device —
-the TPU-native serving path for in-memory compressed segmentation
-(the reference's CrackleArray keeps the binary in host RAM and
-decodes cutouts on demand the same way). vs_baseline compares
-against the reference's single-thread decode of connectomics.npy on
-an M3 (545.6 MVx/s, benchmarks/README.md:272).
+The primary metric is steady-state decode throughput from an
+HBM-resident compressed stream (engine.DeviceStream): the compressed
+binary (~1.4% of raw) is uploaded once, then the full volume decodes
+entirely on device — the TPU-native serving path for in-memory
+compressed segmentation. vs_baseline compares against the
+reference's single-thread decode of 512^3 connectomics.npy on an M3
+(545.6 MVx/s, benchmarks/README.md:272).
 
-The compressed test volume is cached under bench_data/ so repeated
-runs skip the encode. Secondary numbers (decode-to-host, encode) are
-printed to stderr.
+Correctness inside the run: the decoded per-slice CCL images are
+checked against the stream's stored crc32c ON DEVICE once, and the
+smaller committed 256^2x128 volume (with its raw .npy in git) is
+decoded and compared voxel-exact. Secondary numbers (binary-noise
+pattern, encode, decode-to-host) go to stderr.
+
+Compressed test volumes are cached under bench_data/ (committed);
+scripts/gen_bench_volumes.py regenerates them.
 """
 import json
 import os
@@ -28,6 +33,7 @@ BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "bench_data")
 SHAPE = (256, 256, 128)
 N_SEEDS = 1200
+SHAPE512 = (512, 512, 512)
 BASELINE_DECODE_MVX = 545.6  # reference 1-thread M3, 512^3 connectomics
 
 
@@ -73,6 +79,76 @@ def get_binary():
   return binary, vol
 
 
+def _sync(x):
+  import numpy as _np
+  import jax.numpy as jnp
+  _np.asarray(jnp.max(x))
+
+
+def _bench_512(crackle, engine, jnp):
+  path = os.path.join(BENCH_DIR, "connectomics_proxy_512x512x512.ckl")
+  if not os.path.exists(path):
+    print("512^3 stream missing; run scripts/gen_bench_volumes.py",
+          file=sys.stderr)
+    return None
+  binary = open(path, "rb").read()
+  voxels = SHAPE512[0] * SHAPE512[1] * SHAPE512[2]
+  sz = SHAPE512[2]
+
+  t0 = time.perf_counter()
+  stream = engine.upload_stream(binary)
+  if stream is None:
+    return None
+  labels, cc, N = stream.decode_window(0, sz, check_crcs=True)
+  _sync(labels)
+  print(f"512^3 upload+compile+crc-checked decode: "
+        f"{time.perf_counter() - t0:.1f} s "
+        f"({stream.nbytes_device / 1e6:.1f} MB in HBM vs "
+        f"{voxels * 4 / 1e6:.0f} MB raw)", file=sys.stderr)
+
+  best = None
+  for _ in range(3):
+    t0 = time.perf_counter()
+    outs = []
+    for _i in range(4):
+      labels, cc, N = stream.decode_window(0, sz)
+      outs.append(jnp.max(labels))
+    _sync(jnp.stack(outs))
+    dt = (time.perf_counter() - t0) / 4
+    best = dt if best is None else min(best, dt)
+  mvx = voxels / best / 1e6
+  print(f"512^3 decode steady-state: {best * 1e3:.1f} ms/volume "
+        f"{mvx:.1f} MVx/s ({mvx * 4 / 1e3:.2f} GB/s out)",
+        file=sys.stderr)
+  return mvx
+
+
+def _bench_noise(crackle, engine):
+  path = os.path.join(BENCH_DIR, "binary_noise_512x512x16.ckl")
+  if not os.path.exists(path):
+    return
+  binary = open(path, "rb").read()
+  voxels = 512 * 512 * 16
+  try:
+    t0 = time.perf_counter()
+    res = engine.decode_window_ccl(binary, 0, 16, check_crcs=True)
+    if res is None:
+      print("noise: fell back to host path", file=sys.stderr)
+      return
+    cold = time.perf_counter() - t0
+    best = None
+    for _ in range(2):
+      t0 = time.perf_counter()
+      engine.decode_window_ccl(binary, 0, 16, check_crcs=False)
+      dt = time.perf_counter() - t0
+      best = dt if best is None else min(best, dt)
+    print(f"noise 512^2x16 decode (ccl, crc-checked cold {cold:.1f} s): "
+          f"{best * 1e3:.1f} ms = {voxels / best / 1e6:.1f} MVx/s",
+          file=sys.stderr)
+  except Exception as e:  # noqa: BLE001
+    print(f"noise bench failed: {e}", file=sys.stderr)
+
+
 def main():
   import crackle_tpu as crackle
   from crackle_tpu.kernels import engine
@@ -94,76 +170,36 @@ def main():
         f"{voxels / enc_dt / 1e6:.1f} MVx/s "
         f"ratio {len(enc) / vol.nbytes:.4%}", file=sys.stderr)
 
-  # primary: decode throughput from the HBM-resident compressed
-  # stream. Upload once (cost reported to stderr), then windows decode
-  # back to back with no host transfer; drain once at the end.
-  t0 = time.perf_counter()
-  stream = engine.upload_stream(binary)
-  if stream is not None:
-    labels, cc, N = stream.decode_window(0, sz)
-    np.asarray(jnp.max(labels))  # force upload + compile
-  upload_dt = time.perf_counter() - t0
-  if stream is None:
-    print(json.dumps({
-      "metric": "decode_throughput", "value": 0.0, "unit": "MVx/s",
-      "vs_baseline": 0.0,
-    }))
-    return
-  print(f"stream upload+compile: {upload_dt * 1e3:.0f} ms "
-        f"({stream.nbytes_device / 1e6:.1f} MB in HBM vs "
-        f"{vol.nbytes / 1e6:.1f} MB raw)", file=sys.stderr)
-
-  times = []
-  for _ in range(3):
+  # correctness gate on the committed 256 volume (raw npy in git)
+  stream256 = engine.upload_stream(binary)
+  correct = False
+  if stream256 is not None:
+    labels, cc, N = stream256.decode_window(0, sz)
+    got = np.asarray(labels).astype(vol.dtype)       .reshape(sz, SHAPE[1], SHAPE[0]).transpose(2, 1, 0)
+    correct = np.array_equal(got, vol)
     t0 = time.perf_counter()
-    labels, cc, N = stream.decode_window(0, sz)
-    np.asarray(jnp.max(labels))
-    times.append(time.perf_counter() - t0)
-  lat = min(times)
-
-  N_ITERS = 8
-  best = None
-  for _ in range(3):
-    t0 = time.perf_counter()
-    outs = []
-    for _i in range(N_ITERS):
-      labels, cc, N = stream.decode_window(0, sz)
-      outs.append(jnp.max(labels))
-    np.asarray(jnp.stack(outs).max())
-    dt = (time.perf_counter() - t0) / N_ITERS
-    best = dt if best is None else min(best, dt)
-  mvx_dev = voxels / best / 1e6
-  print(f"decode latency (single window, incl. sync): {lat * 1e3:.1f} ms "
-        f"({voxels / lat / 1e6:.1f} MVx/s)", file=sys.stderr)
-
-  # secondary: per-window h2d included (cold-stream consumer)
-  best_h2d = None
-  for _ in range(2):
-    t0 = time.perf_counter()
-    for _i in range(4):
-      labels_h, cc_h, N_h, _ = engine.decode_window_device(binary, 0, sz)
-    np.asarray(jnp.max(labels_h))
+    for _ in range(4):
+      labels, cc, N = stream256.decode_window(0, sz)
+    _sync(jnp.max(labels))
     dt = (time.perf_counter() - t0) / 4
-    best_h2d = dt if best_h2d is None else min(best_h2d, dt)
-  print(f"decode with per-window h2d: {best_h2d * 1e3:.1f} ms/window "
-        f"({voxels / best_h2d / 1e6:.1f} MVx/s)", file=sys.stderr)
-
-  # correctness (decode-to-host path, includes crc checks; auto
-  # engine: host-destination decodes route to the native decoder)
+    print(f"256^2x128 decode steady-state: {dt * 1e3:.1f} ms/window "
+          f"{voxels / dt / 1e6:.1f} MVx/s; correct: {correct}",
+          file=sys.stderr)
   t0 = time.perf_counter()
-  out = crackle.decompress(binary)
+  host_ok = np.array_equal(crackle.decompress(binary), vol)
   host_dt = time.perf_counter() - t0
-  stream_vol = np.asarray(labels).astype(vol.dtype) \
-    .reshape(sz, SHAPE[1], SHAPE[0]).transpose(2, 1, 0)
-  correct = np.array_equal(out, vol) and np.array_equal(stream_vol, vol)
-  print(f"decode-to-device steady-state: {best * 1e3:.1f} ms/window "
-        f"{mvx_dev:.1f} MVx/s ({mvx_dev * 4 / 1e3:.2f} GB/s out)",
-        file=sys.stderr)
   print(f"decode-to-host (with crc): {host_dt * 1e3:.0f} ms "
-        f"{voxels / host_dt / 1e6:.1f} MVx/s; correct: {correct}",
+        f"{voxels / host_dt / 1e6:.1f} MVx/s; correct: {host_ok}",
         file=sys.stderr)
+  correct = correct and host_ok
 
-  if not correct:
+  # primary: the canonical 512^3 volume (per-slice CCL crc32c checked
+  # on device during the cold pass)
+  mvx = _bench_512(crackle, engine, jnp) if correct else None
+
+  _bench_noise(crackle, engine)
+
+  if mvx is None:
     print(json.dumps({
       "metric": "decode_throughput", "value": 0.0, "unit": "MVx/s",
       "vs_baseline": 0.0,
@@ -172,9 +208,9 @@ def main():
 
   print(json.dumps({
     "metric": "decode_throughput",
-    "value": round(mvx_dev, 1),
+    "value": round(mvx, 1),
     "unit": "MVx/s",
-    "vs_baseline": round(mvx_dev / BASELINE_DECODE_MVX, 3),
+    "vs_baseline": round(mvx / BASELINE_DECODE_MVX, 3),
   }))
 
 
