@@ -739,7 +739,11 @@ def compress(labels: np.ndarray, allow_pins: int = 0,
 
   crack_format = CrackFormat.IMPERMISSIBLE
   label_format = LabelFormat.PINS_VARIABLE_WIDTH
-  if num_pairs < voxels / 2:
+  # integer division matches the reference (crackle.hpp:52 divides
+  # int64s), and the native/wasm encoders already use it — for odd
+  # voxel counts with num_pairs == voxels // 2 float division would
+  # pick the other crack format and break byte-identity
+  if num_pairs < voxels // 2:
     crack_format = CrackFormat.PERMISSIBLE
     label_format = LabelFormat.FLAT
   if sz == 1 or not allow_pins:

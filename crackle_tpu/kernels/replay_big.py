@@ -486,9 +486,13 @@ def eligible(CAP: int, CAP_CH: int, sx: int, sy: int) -> bool:
 
 
 def replay_vcg_i32_big(packed, nbytes, nodes, n_chains, sx, sy,
-                      permissible):
+                      permissible, stash=None):
   """Generalized fused replay to an int32 (B, sy, sx) VCG. Call
-  inside jit; caller guarantees eligible()."""
+  inside jit; caller guarantees eligible().
+
+  stash: optional dict; when given, per-stage intermediates (keys,
+  cls, tk, vhidx, ...) are recorded into it so hardware runs can be
+  bisected against interpret-mode runs stage by stage."""
   B, CAP_B = packed.shape
   CAP = CAP_B * 4
   R = CAP // LANES
@@ -563,6 +567,9 @@ def replay_vcg_i32_big(packed, nbytes, nodes, n_chains, sx, sy,
         (kd.reshape(B, CAP), kp.reshape(B, CAP)), dimension=1,
         is_stable=False, num_keys=2)
       sorted_keys = [pad_row(skd, _I32MAX), pad_row(skp, _I32MAX)]
+    if stash is not None:
+      stash["outs"] = outs
+      stash["sorted_keys"] = sorted_keys
 
     tk = pl.pallas_call(
       functools.partial(_scope_kernel, CAP=CAP, Rc=Rc, mode=mode),
@@ -583,6 +590,9 @@ def replay_vcg_i32_big(packed, nbytes, nodes, n_chains, sx, sy,
     logw_c = int(np.log2(CANCEL_W))
     stk = jax.lax.sort(tk.reshape(B, CAP), dimension=1,
                        is_stable=False).reshape(B, R, LANES)
+    if stash is not None:
+      stash["tk"] = tk
+      stash["stk"] = stk
     bq = jnp.minimum((stk[:, 0::G, 0] >> 1) >> 7, 2 * R) >> logw_c
     lq = jnp.minimum(
       (stk[:, G - 1::G, LANES - 1] >> 1) >> 7, 2 * R) >> logw_c
@@ -615,6 +625,9 @@ def replay_vcg_i32_big(packed, nbytes, nodes, n_chains, sx, sy,
     log_lo = int(np.log2(PAINT_LO))
     svh = jax.lax.sort(vhidx.reshape(B, CAP), dimension=1,
                        is_stable=False).reshape(B, R, LANES)
+    if stash is not None:
+      stash["vhidx"] = vhidx
+      stash["svh"] = svh
     bqp = jnp.minimum(svh[:, 0::G, 0] >> log_lo, HIS) >> logw_p
     lqp = jnp.minimum(
       svh[:, G - 1::G, LANES - 1] >> log_lo, HIS) >> logw_p

@@ -608,26 +608,33 @@ int64_t crackle_replay_vcg(
     revisit.clear();
 
     auto commit = [&](uint8_t mv) -> bool {
-      if ((uint64_t)(x + (sxe)*y) >= (uint64_t)pixels) return false;
+      // positions live on the dual grid [0..sx] x [0..sy]; a corrupt
+      // stream can walk anywhere, so every paint carries both column
+      // guards and the move itself must stay on the grid
+      if (x < 0 || x > sx || y < 0 || y > sy) return false;
       switch (mv) {
         case UP:
-          if (x > 0 && y > 0) paint((x - 1) + sx * (y - 1), 0b0001);
-          if (y > 0) paint(x + sx * (y - 1), 0b0010);
+          if (y <= 0) return false;
+          if (x > 0) paint((x - 1) + sx * (y - 1), 0b0001);
+          if (x < sx) paint(x + sx * (y - 1), 0b0010);
           y--;
           break;
         case DOWN:
+          if (y >= sy) return false;
           if (x > 0) paint((x - 1) + sx * y, 0b0001);
-          paint(x + sx * y, 0b0010);
+          if (x < sx) paint(x + sx * y, 0b0010);
           y++;
           break;
         case LEFT:
-          if (x > 0 && y > 0) paint((x - 1) + sx * (y - 1), 0b0100);
-          if (x > 0) paint((x - 1) + sx * y, 0b1000);
+          if (x <= 0) return false;
+          if (y > 0) paint((x - 1) + sx * (y - 1), 0b0100);
+          if (y < sy) paint((x - 1) + sx * y, 0b1000);
           x--;
           break;
         case RIGHT:
+          if (x >= sx) return false;
           if (y > 0) paint(x + sx * (y - 1), 0b0100);
-          paint(x + sx * y, 0b1000);
+          if (y < sy) paint(x + sx * y, 0b1000);
           x++;
           break;
       }
@@ -643,11 +650,13 @@ int64_t crackle_replay_vcg(
           if (branches > 0 && !revisit.empty()) {
             int64_t loc = revisit.back();
             revisit.pop_back();
-            y = loc / sx;
-            x = loc - sx * y;
+            // dual-grid packing (sxe wide): x can equal sx at a
+            // right-border branch, so sx-wide packing would alias
+            y = loc / sxe;
+            x = loc - sxe * y;
           }
         } else {  // branch
-          revisit.push_back(x + sx * y);
+          revisit.push_back(x + sxe * y);
           branches++;
         }
         pending = NONE;
@@ -912,19 +921,28 @@ int64_t crackle_decompress_stream(
   if (crc32c(buf + off, 4 * sz) != zcrc) return -4;
   off += 4 * (sz + 1);
 
-  // flat labels
+  // flat labels. Every derived offset is validated against
+  // num_label_bytes before use: a corrupt N (or component counts)
+  // must fail with -1, not index outside the buffer.
   const uint8_t* lb = buf + off;
   if ((int64_t)(off + h.num_label_bytes) > n) return -1;
+  if (h.num_label_bytes < 8) return -1;
   uint64_t num_labels = rd(lb, 8);
+  if (num_labels > (h.num_label_bytes - 8) / (uint64_t)h.stored_width)
+    return -1;
   const uint8_t* uniq = lb + 8;
   const uint8_t* cpg = uniq + num_labels * h.stored_width;
   int cw = byte_width((uint64_t)sxy);
-  const uint8_t* keys = cpg + (uint64_t)cw * sz;
   int kw = byte_width(num_labels);
+  uint64_t fixed = 8 + num_labels * (uint64_t)h.stored_width
+                 + (uint64_t)cw * sz;
+  if (fixed > h.num_label_bytes) return -1;
+  const uint8_t* keys = cpg + (uint64_t)cw * sz;
   std::vector<uint64_t> cum(sz + 1, 0);
   for (int64_t z = 0; z < sz; z++) {
     cum[z + 1] = cum[z] + rd(cpg + (uint64_t)cw * z, cw);
   }
+  if (cum[sz] > (h.num_label_bytes - fixed) / (uint64_t)kw) return -1;
   off += h.num_label_bytes;
 
   // markov model
@@ -981,6 +999,9 @@ int64_t crackle_decompress_stream(
   std::vector<uint64_t> z_off(sz + 1, off);
   for (int64_t z = 0; z < sz; z++) z_off[z + 1] = z_off[z] + z_len[z];
   (void)labels_crc_p;
+  // crack payload + 4-byte labels crc + sz crack crcs must exactly
+  // close the stream (z-index crc already verified above)
+  if (z_off[sz] + 4 * (uint64_t)(sz + 1) != (uint64_t)n) return -1;
 
   unsigned hw = std::thread::hardware_concurrency();
   int64_t n_threads = hw ? (int64_t)hw : 1;
@@ -1003,16 +1024,25 @@ int64_t crackle_decompress_stream(
     cps.clear();
 
     if (clen > 0) {
-      // BOC index
+      // BOC index; every cursor advance is bounds-checked so a
+      // corrupt length prefix or count fails with -1 instead of
+      // reading past the code span
+      if (clen < 4) { rcs[t] = -1; return; }
       uint64_t index_size = 4 + rd(code, 4);
+      if (index_size > clen) { rcs[t] = -1; return; }
       int xw = byte_width(h.sx + 1);
       int yw = byte_width(h.sy + 1);
       uint64_t p = 4;
+      if (p + yw > index_size) { rcs[t] = -1; return; }
       uint64_t num_y = rd(code + p, yw); p += yw;
       uint64_t y = 0;
       for (uint64_t yi = 0; yi < num_y; yi++) {
+        if (p + yw + xw > index_size) { rcs[t] = -1; return; }
         y += rd(code + p, yw); p += yw;
         uint64_t num_x = rd(code + p, xw); p += xw;
+        if (num_x > (index_size - p) / (uint64_t)xw) {
+          rcs[t] = -1; return;
+        }
         uint64_t x = 0;
         for (uint64_t xi = 0; xi < num_x; xi++) {
           x += rd(code + p, xw); p += xw;
@@ -1030,6 +1060,7 @@ int64_t crackle_decompress_stream(
           code + index_size, clen - index_size,
           model_inv.data(), h.markov_order, cps.data(), cap
         );
+        if (got < 0) { rcs[t] = -1; return; }
         cps.resize(got);
       } else {
         // unpack 2-bit diffs + undiff
@@ -1072,9 +1103,14 @@ int64_t crackle_decompress_stream(
     // width decoding.
     uint64_t key_base = cum[z];
     uint64_t n_comp = cum[z + 1] - key_base;
+    // the label table must carry exactly one key per decoded
+    // component, each pointing inside uniq — a corrupt section that
+    // survived the crc gates must fail, not read out of bounds
+    if ((uint64_t)N != n_comp) { rcs[t] = -1; return; }
     std::vector<uint64_t> lmap(n_comp);
     for (uint64_t k = 0; k < n_comp; k++) {
       uint64_t key = rd(keys + (key_base + k) * kw, kw);
+      if (key >= num_labels) { rcs[t] = -1; return; }
       lmap[k] = rd(uniq + key * h.stored_width, h.stored_width);
     }
     #define PAINT(OUT_T) do { \

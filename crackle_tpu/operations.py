@@ -273,228 +273,198 @@ def renumber(binary: bytes, start: int = 0,
 # ---------------------------------------------------------------------------
 
 def _zstack_flat_labels(uniq: np.ndarray, binaries: List[bytes]) -> bytes:
-  component_index = []
-  all_keys = []
-  uniq_map_keys = uniq
+  """Merged flat-labels section for a stack: one global sorted
+  dictionary and every part's component keys re-pointed into it
+  (layout per SURVEY §2.4 / labels.hpp:126-153)."""
+  sdtype = width2dtype[compute_byte_width(int(uniq[-1]))]
+  kdtype = width2dtype[compute_byte_width(len(uniq))]
 
-  first_head = header(binaries[0])
-  first_head.stored_data_width = compute_byte_width(int(uniq[-1]))
-  key_width = compute_byte_width(len(uniq))
+  grid_counts = []
+  global_keys = []
+  for part in binaries:
+    sec = decode_flat_labels(header(part), part)
+    grid_counts.append(sec["components_per_grid"])
+    # local key -> local label -> global key, fused into one gather
+    into_global = np.searchsorted(uniq, sec["unique"]).astype(kdtype)
+    global_keys.append(into_global[sec["cc_map"]])
 
-  for binary in binaries:
-    if binary is None:
-      continue
-    head = header(binary)
-    elements = decode_flat_labels(head, binary)
-    component_index.append(elements["components_per_grid"])
-    local_uniq = elements["unique"]
-    cc_map = elements["cc_map"]
-    remap_arr = np.searchsorted(uniq_map_keys, local_uniq) \
-        .astype(f"u{key_width}")
-    all_keys.append(remap_arr[cc_map])
-
-  return b''.join([
-    itoc(len(uniq), 8),
-    uniq.astype(first_head.stored_dtype, copy=False).tobytes(),
-    np.concatenate(component_index).tobytes(),
-    np.concatenate(all_keys).tobytes(),
-  ])
+  return b"".join(
+    [itoc(len(uniq), 8), uniq.astype(sdtype, copy=False).tobytes()]
+    + [g.tobytes() for g in grid_counts]
+    + [k.tobytes() for k in global_keys]
+  )
 
 
 def _zstack_pins(uniq: np.ndarray, binaries: List[bytes]) -> bytes:
-  binaries = [b for b in binaries if b is not None]
+  """Merged condensed-pins section: every part's pins shift into the
+  stacked volume's voxel index space and its cc-singles into the
+  running global component numbering, then each label's rows re-emit
+  diff-coded at the stack-wide widths (layout per SURVEY §2.4 /
+  labels.hpp:261-343)."""
+  head0 = header(binaries[0])
+  bg = background_color(binaries[0])
+  sxy = head0.sx * head0.sy
 
-  first_head = header(binaries[0])
-  first_head.stored_data_width = compute_byte_width(int(uniq[-1]))
-
-  component_index = []
-  first_bgcolor = background_color(binaries[0])
-  component_offset = 0
-  z = 0
-  sxy = first_head.sx * first_head.sy
-
-  all_pins = defaultdict(list)
-  all_single_labels = defaultdict(list)
-  Pin = namedtuple('Pin', ['index', 'depth'])
-
-  for binary in binaries:
-    bg = background_color(binary)
-    if bg != first_bgcolor:
+  # gather columns per label, rebased into stack-global coordinates
+  pins_of = defaultdict(list)    # label -> [(index, depth) i64 rows]
+  singles_of = defaultdict(list)  # label -> [global cc ids]
+  grid_counts = []
+  voxel_base = 0
+  comp_base = 0
+  for part in binaries:
+    if background_color(part) != bg:
       raise ValueError(
-        f"Unable to stack pins with different background colors. "
-        f"Got: {first_bgcolor} and {bg}"
+        f"pin stacks share one background color; "
+        f"got {bg} and {background_color(part)}"
       )
-    elems = decode_condensed_pins_components(binary)
-    cpg = elems["components_per_grid"]
-    component_index.append(cpg)
-    pins, single_labels = decode_condensed_pins(binary)
-    for label, cc_labels in single_labels.items():
-      all_single_labels[label].extend(
-        (np.asarray(cc_labels, dtype=np.int64) + component_offset).tolist()
-      )
-    component_offset += int(np.sum(cpg))
-    for label in pins.keys():
-      all_pins[label] += [
-        Pin(pin.index + z * sxy, pin.depth) for pin in pins[label]
-      ]
-    head = header(binary)
-    z += head.sz
+    part_pins, part_singles = decode_condensed_pins(part)
+    for label, rows in part_pins.items():
+      if rows:
+        arr = np.asarray(rows, dtype=np.int64).reshape(-1, 2)
+        arr[:, 0] += voxel_base
+        pins_of[label].append(arr)
+    for label, ccids in part_singles.items():
+      if len(ccids):
+        singles_of[label].append(
+          np.asarray(ccids, dtype=np.int64) + comp_base)
+    counts = decode_condensed_pins_components(part)[
+      "components_per_grid"]
+    grid_counts.append(counts)
+    comp_base += int(counts.sum())
+    voxel_base += header(part).sz * sxy
 
-  n_pins = _max([len(v) for v in all_pins.values()]) if all_pins else 0
-  max_depth = _max(
-    (pin.depth for pins in all_pins.values() for pin in pins), default=0
-  )
-  max_ccl = _max(
-    (ccl for ccls in all_single_labels.values() for ccl in ccls), default=0
-  )
+  # stack-wide field widths
+  most_pins = _max((sum(len(a) for a in v) for v in pins_of.values()),
+                   default=0)
+  deepest = _max((int(a[:, 1].max()) for v in pins_of.values()
+                  for a in v), default=0)
+  top_cc = _max((int(a.max()) for v in singles_of.values()
+                 for a in v), default=0)
+  count_w = compute_byte_width(most_pins)
+  depth_w = compute_byte_width(deepest)
+  cc_w = compute_byte_width(top_cc)
+  layout_byte = (count_w.bit_length() - 1) \
+      | ((depth_w.bit_length() - 1) << 2) \
+      | ((cc_w.bit_length() - 1) << 4)
+  index_w = head0.pin_index_width()
 
-  num_pins_width = compute_byte_width(n_pins)
-  depth_width = compute_byte_width(max_depth)
-  cc_label_width = compute_byte_width(max_ccl)
+  def delta_bytes(sorted_vals: np.ndarray, width: int) -> bytes:
+    d = np.diff(sorted_vals, prepend=np.int64(0))
+    return d.astype(f"u{width}").tobytes()
 
-  fmt_byte = (
-    int(np.log2(num_pins_width))
-    | (int(np.log2(depth_width)) << 2)
-    | (int(np.log2(cc_label_width)) << 4)
-  )
-  index_width = first_head.pin_index_width()
-
-  pin_binaries = []
-  for label in uniq:
-    if label == first_bgcolor:
-      continue
-    pinset = sorted(all_pins[label], key=lambda a: a.index)
-    indices = np.array([p.index for p in pinset], dtype=np.int64)
-    if len(indices):
-      indices = np.diff(indices, prepend=0)
-    indices = indices.astype(f"u{index_width}")
-    depths = np.array([p.depth for p in pinset], dtype=f"u{depth_width}")
-    singles = np.array(sorted(all_single_labels[label]), dtype=np.int64)
-    if len(singles):
-      singles = np.diff(singles, prepend=0)
-    singles = singles.astype(f"u{cc_label_width}")
-    pin_binaries.append(b''.join([
-      itoc(len(pinset), num_pins_width),
-      indices.tobytes(),
-      depths.tobytes(),
-      itoc(len(singles), num_pins_width),
-      singles.tobytes(),
+  foreground = uniq[uniq != bg]
+  sections = []
+  for label in foreground:
+    rows = pins_of.get(label)
+    if rows:
+      merged = np.concatenate(rows)
+      merged = merged[np.argsort(merged[:, 0], kind="stable")]
+    else:
+      merged = np.zeros((0, 2), dtype=np.int64)
+    ccids = singles_of.get(label)
+    ccids = np.sort(np.concatenate(ccids)) if ccids \
+        else np.zeros(0, dtype=np.int64)
+    sections.append(b"".join([
+      itoc(len(merged), count_w),
+      delta_bytes(merged[:, 0], index_w),
+      merged[:, 1].astype(f"u{depth_w}").tobytes(),
+      itoc(len(ccids), count_w),
+      delta_bytes(ccids, cc_w),
     ]))
 
-  uniq = uniq[uniq != first_bgcolor]
-  return b''.join([
-    itoc(int(first_bgcolor), first_head.stored_data_width),
-    itoc(len(uniq), 8),
-    uniq.astype(first_head.stored_dtype, copy=False).tobytes(),
-    np.concatenate(component_index).tobytes(),
-    itoc(fmt_byte, 1),
-    *pin_binaries,
+  sdtype = width2dtype[compute_byte_width(int(uniq[-1]))]
+  return b"".join([
+    itoc(int(bg), head0.stored_data_width),
+    itoc(len(foreground), 8),
+    foreground.astype(sdtype, copy=False).tobytes(),
+    *[g.tobytes() for g in grid_counts],
+    itoc(layout_byte, 1),
+    *sections,
   ])
+
+
+def _check_stackable(ref: CrackleHeader, head: CrackleHeader):
+  mismatches = [
+    (ref.sx != head.sx or ref.sy != head.sy,
+     f"every part needs the same slice shape; expected "
+     f"{ref.sx}x{ref.sy}, got {head.sx}x{head.sy}"),
+    (ref.label_format != head.label_format,
+     f"label formats differ: {ref.label_format} vs "
+     f"{head.label_format}"),
+    (ref.grid_size != head.grid_size, "grid sizes differ"),
+    (ref.crack_format != head.crack_format, "crack formats differ"),
+    (ref.signed != head.signed, "signedness differs"),
+  ]
+  for bad, msg in mismatches:
+    if bad:
+      raise ValueError(f"zstack: {msg}")
 
 
 def zstack(images: Sequence) -> bytes:
   """Stack arrays / binaries along z into one stream without
-  decompressing pixel data."""
+  decompressing pixel data: crack codes splice byte-for-byte with
+  their crcs carried over; only the label dictionary merges."""
   from .array import CrackleArray
 
-  binaries = []
-  first_head = None
-  sz = 0
-  data_width = 1
-
-  for binary in images:
-    if binary is None:
+  parts: List[bytes] = []
+  ref = None
+  for img in images:
+    if img is None:
       continue
-    if isinstance(binary, np.ndarray):
-      binary = compress(binary)
-    elif isinstance(binary, CrackleArray):
-      binary = reencode(binary.binary, markov_model_order=0)
+    if isinstance(img, np.ndarray):
+      binary = compress(img)
     else:
-      binary = reencode(binary, markov_model_order=0)
-
+      raw = img.binary if isinstance(img, CrackleArray) else img
+      # markov bitstreams are model-specific; normalize so the spliced
+      # crack sections share one (absent) model
+      binary = reencode(raw, markov_model_order=0)
     head = header(binary)
-    if first_head is None:
-      first_head = head
+    if ref is None:
+      ref = head
+    _check_stackable(ref, head)
+    binary = asfortranarray(binary) if ref.fortran_order \
+        else ascontiguousarray(binary)
+    parts.append(binary)
 
-    data_width = _max(data_width, head.data_width)
-    if first_head.fortran_order:
-      binary = asfortranarray(binary)
-    else:
-      binary = ascontiguousarray(binary)
+  if len(parts) == 1:
+    return parts[0]
 
-    if first_head.sx != head.sx or first_head.sy != head.sy:
-      raise ValueError(
-        f"All images must have the same width and height. "
-        f"Expected sx={first_head.sx} sy={first_head.sy} ; "
-        f"Got: sx={head.sx} sy={head.sy}"
-      )
-    if first_head.label_format != head.label_format:
-      raise ValueError(
-        f"Label formats must match. First: {first_head.label_format} "
-        f"Got: {head.label_format}"
-      )
-    if head.grid_size != first_head.grid_size:
-      raise ValueError("Grid sizes must match.")
-    if head.crack_format != first_head.crack_format:
-      raise ValueError("All crack formats must match.")
-    if head.signed != first_head.signed:
-      raise ValueError("All binaries must have the same sign.")
+  uniq = np.unique(np.concatenate([
+    labels(p).astype(np.uint64) for p in parts
+  ]))
 
-    sz += head.sz
-    binaries.append(binary)
+  out_head = header(parts[0])
+  out_head.sz = sum(header(p).sz for p in parts)
+  out_head.data_width = _max(header(p).data_width for p in parts)
+  out_head.stored_data_width = compute_byte_width(int(uniq[-1]))
 
-  if len(binaries) == 1:
-    return binaries[0]
-
-  first_head.sz = sz
-  first_head.data_width = data_width
-
-  uniq = []
-  for binary in binaries:
-    uniq.extend(labels(binary))
-  uniq = np.unique(np.array(uniq, dtype=np.uint64))
-
-  first_head.stored_data_width = compute_byte_width(int(uniq[-1]))
-
-  if first_head.label_format == LabelFormat.FLAT:
-    labels_binary = _zstack_flat_labels(uniq, binaries)
-  elif first_head.label_format == LabelFormat.PINS_VARIABLE_WIDTH:
-    labels_binary = _zstack_pins(uniq, binaries)
+  if out_head.label_format == LabelFormat.FLAT:
+    label_section = _zstack_flat_labels(uniq, parts)
+  elif out_head.label_format == LabelFormat.PINS_VARIABLE_WIDTH:
+    label_section = _zstack_pins(uniq, parts)
   else:
-    raise ValueError(f"Unsupported label format: {first_head.label_format}")
+    raise ValueError(
+      f"Unsupported label format: {out_head.label_format}")
+  out_head.num_label_bytes = len(label_section)
 
-  crack_codes_lst = []
-  zindex = np.zeros((sz,), dtype=np.uint32)
-  z = 0
-  for binary in binaries:
-    for cc in crack_codes(binary):
-      zindex[z] = len(cc)
-      crack_codes_lst.append(cc)
-      z += 1
+  per_part_codes = [crack_codes(p) for p in parts]
+  slice_lengths = np.array(
+    [len(c) for codes in per_part_codes for c in codes],
+    dtype=np.uint32)
+  z_index = slice_lengths.tobytes()
+  crack_payload = b"".join(
+    c for codes in per_part_codes for c in codes)
 
-  grid_index_binary = zindex.tobytes()
-  if first_head.format_version > 0:
-    grid_index_binary += itoc(crc32c(grid_index_binary), 4)
-
-  crcs_binary = b''
-  if first_head.format_version > 0:
-    crcs = [crack_crcs(binary) for binary in binaries]
-    crcs_binary = np.concatenate(crcs).tobytes()
-
-  crack_binary = b''.join(crack_codes_lst)
-  first_head.num_label_bytes = len(labels_binary)
-
-  labels_crc_binary = b''
-  if first_head.format_version > 0:
-    labels_crc_binary = itoc(crc32c(labels_binary), 4)
-
-  return b''.join([
-    first_head.tobytes(),
-    grid_index_binary,
-    labels_binary,
-    crack_binary,
-    labels_crc_binary,
-    crcs_binary,
+  checked = out_head.format_version > 0
+  return b"".join([
+    out_head.tobytes(),
+    z_index,
+    itoc(crc32c(z_index), 4) if checked else b"",
+    label_section,
+    crack_payload,
+    itoc(crc32c(label_section), 4) if checked else b"",
+    np.concatenate([crack_crcs(p) for p in parts]).tobytes()
+    if checked else b"",
   ])
 
 
