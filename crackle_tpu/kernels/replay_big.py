@@ -228,7 +228,8 @@ def _scope_kernel(*refs, CAP, Rc, mode):
   NCH = R // Rc
   PADK = (2 * CAP) << 1
 
-  def chunk(i, carr_nc):
+  def chunk(i, carr):
+    carr_nc, carr_depth = carr
     k = (NCH - 1 - i) if NCH > 1 else 0
     r0 = pl.multiple_of(k * Rc, Rc)
     if mode == "packed":
@@ -256,6 +257,18 @@ def _scope_kernel(*refs, CAP, Rc, mode):
       pos_s = kp >> 3
 
     nxt = _flat_shift_left(depth, -1)
+    # the shift's window-end fill (-1) would fabricate a depth-segment
+    # boundary at every chunk seam, silently dropping any move whose
+    # close lies beyond the lookahead row (the round-3 512^3 corruption:
+    # 40/512 slices with uncancelled deltas). Splice in the true depth
+    # of the element after the window, carried from the next chunk
+    # (processed first in this reverse iteration); -1 only at the real
+    # end of the stream.
+    Rw, Cw = depth.shape
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (Rw, Cw), 0)
+    coli = jax.lax.broadcasted_iota(jnp.int32, (Rw, Cw), 1)
+    at_end = (rowi == Rw - 1) & (coli == Cw - 1)
+    nxt = jnp.where(at_end, _bc11(carr_depth, (Rw, Cw)), nxt)
     seg_last = jnp.minimum(
       jnp.where(depth != nxt, 1, 0) + inf, 1)
     setf = jnp.minimum(close + seg_last, 1)
@@ -276,9 +289,11 @@ def _scope_kernel(*refs, CAP, Rc, mode):
     tkey = ((isV * CAP + nc_full) << 1) | neg
     tk_ref[0, pl.ds(r0, Rc), :] = \
       jnp.where(ok > 0, tkey, PADK)[0:Rc]
-    return nc[0, 0]
+    # depth[1, 0] is the element just past the PREVIOUS chunk's window
+    # end ((k*Rc + 1, 0) here = ((k-1)*Rc + Rc + 1, 0) there)
+    return nc[0, 0], depth[1, 0]
 
-  init = jnp.int32(-1)
+  init = (jnp.int32(-1), jnp.int32(-1))
   if NCH == 1:
     chunk(0, init)
   else:

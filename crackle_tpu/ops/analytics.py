@@ -6,6 +6,7 @@ Each op shares the per-slice pipeline (crack code -> VCG -> CCL ->
 label map) and then reduces with vectorized segmented ops instead of
 the reference's per-voxel loops."""
 import builtins
+import os
 from typing import Dict, Iterator, List, Optional, Tuple, Union
 
 import numpy as np
@@ -369,7 +370,8 @@ def point_cloud(binary: bytes, label=None, parallel: int = 0,
   label_set = set(label) if selective else None
 
   sx, sy = head.sx, head.sy
-  ptc: Dict[int, List[np.ndarray]] = {}
+  all_pts: List[np.ndarray] = []
+  all_lbls: List[np.ndarray] = []
 
   for vcg, ccl, N, label_map, z in for_each_z(binary, z_start, z_end):
     v = vcg.reshape(sy, sx)
@@ -381,26 +383,38 @@ def point_cloud(binary: bytes, label=None, parallel: int = 0,
     bidx = np.flatnonzero(boundary.ravel())
     if len(bidx) == 0:
       continue
-    comp = ccl[bidx]
-    xs = (bidx % sx).astype(np.uint16)
-    ys = (bidx // sx).astype(np.uint16)
-    lbls = label_map[comp]
-    for lbl in np.unique(lbls):
-      ilbl = int(lbl)
-      if skip_background and ilbl == 0:
+    lbls = np.asarray(label_map)[ccl[bidx]]
+    if skip_background or selective:
+      if selective:
+        keep = np.isin(lbls, np.asarray(sorted(label_set),
+                                        dtype=lbls.dtype))
+      else:
+        keep = lbls != 0
+      bidx, lbls = bidx[keep], lbls[keep]
+      if len(bidx) == 0:
         continue
-      if selective and ilbl not in label_set:
-        continue
-      m = lbls == lbl
-      pts = np.stack([
-        xs[m], ys[m], np.full(m.sum(), z, dtype=np.uint16)
-      ], axis=1)
-      ptc.setdefault(ilbl, []).append(pts)
+    pts = np.empty((len(bidx), 3), np.uint16)
+    pts[:, 0] = bidx % sx
+    pts[:, 1] = bidx // sx
+    pts[:, 2] = z
+    all_pts.append(pts)
+    all_lbls.append(lbls)
 
-  ptc = {
-    lbl: np.ascontiguousarray(np.concatenate(parts))
-    for lbl, parts in ptc.items()
-  }
+  ptc: Dict[int, np.ndarray] = {}
+  if all_pts:
+    # one global sort-based group-by instead of a per-label mask per
+    # slice (points within a label stay in slice/raster order because
+    # the sort is stable)
+    pts = np.concatenate(all_pts)
+    lbls = np.concatenate(all_lbls)
+    order = np.argsort(lbls, kind='stable')
+    pts, lbls = pts[order], lbls[order]
+    uniq, starts = np.unique(lbls, return_index=True)
+    bounds = np.append(starts, len(lbls))
+    ptc = {
+      int(u): np.ascontiguousarray(pts[bounds[i]:bounds[i + 1]])
+      for i, u in enumerate(uniq)
+    }
   if len(ptc) == 0:
     if label:
       return np.zeros([0, 3], dtype=np.uint16, order="C")
@@ -469,7 +483,8 @@ def contacts(binary: bytes,
   head = codec.header(binary)
   sx, sy = head.sx, head.sy
 
-  edges: Dict[Tuple[int, int], float] = {}
+  acc_pairs: List[np.ndarray] = []
+  acc_areas: List[np.ndarray] = []
 
   def add_edges(a: np.ndarray, b: np.ndarray, area: float):
     m = (a != b) & (a != 0) & (b != 0)
@@ -477,12 +492,17 @@ def contacts(binary: bytes,
       return
     lo = np.minimum(a[m], b[m])
     hi = np.maximum(a[m], b[m])
-    pairs, counts = np.unique(
-      np.stack([lo, hi], axis=1), axis=0, return_counts=True
-    )
-    for (pa, pb), ct in zip(pairs.tolist(), counts.tolist()):
-      key = (int(pa), int(pb))
-      edges[key] = edges.get(key, 0.0) + area * ct
+    # pre-reduce within the slice, accumulate (pair, area) rows; one
+    # global reduction at the end replaces a python dict update per pair
+    if lo.size and int(lo.max()) < (1 << 32) and int(hi.max()) < (1 << 32):
+      pairs, counts = np.unique((lo << 32) | hi, return_counts=True)
+      acc_pairs.append(np.stack([pairs >> 32, pairs & 0xffffffff], 1))
+      acc_areas.append(counts * area)
+    else:
+      pairs, counts = np.unique(
+        np.stack([lo, hi], axis=1), axis=0, return_counts=True)
+      acc_pairs.append(pairs)
+      acc_areas.append(counts * area)
 
   prev = None
   for vcg, ccl, N, label_map, z in for_each_z(binary, 0, -1):
@@ -492,7 +512,17 @@ def contacts(binary: bytes,
     if prev is not None:
       add_edges(prev.ravel(), cur.ravel(), area_z)
     prev = cur
-  return edges
+
+  if not acc_pairs:
+    return {}
+  keys = np.concatenate(acc_pairs)
+  areas = np.concatenate(acc_areas)
+  uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+  sums = np.bincount(inv.ravel(), weights=areas, minlength=len(uniq))
+  return {
+    (int(a), int(b)): float(s)
+    for (a, b), s in zip(uniq.tolist(), sums.tolist())
+  }
 
 
 # ---------------------------------------------------------------------------
@@ -579,17 +609,27 @@ def _mode_2x2(a: np.ndarray) -> np.ndarray:
 def mode_pooling_2x2x1(binary: bytes, parallel: int = 0) -> List[bytes]:
   """Downsample each slice 2x2 by mode pooling and recompress;
   returns per-slice binaries for zstack
-  (operations.hpp:1201-1352 parity)."""
+  (operations.hpp:1201-1352 parity).
+
+  One full decode (threaded native decoder), then per-slice pooled
+  recompression on a thread pool — the encoder's hot path is native
+  code that releases the GIL, matching the reference's
+  for_each_z_parallel template (operations.hpp:89-182)."""
+  import concurrent.futures as _fut
   head = codec.header(binary)
-  out = []
-  for z in range(head.sz):
-    sl = codec.decompress_range(binary, z, z + 1, parallel)
-    a = np.asfortranarray(sl[:, :, 0])
+  vol = codec.decompress(binary, parallel=parallel)
+
+  def pool_one(z: int) -> bytes:
+    a = np.asfortranarray(vol[:, :, z])
     pooled = _mode_2x2(a.T).T  # operate in (sy, sx) then back
-    out.append(codec.compress(
-      np.asfortranarray(pooled[:, :, np.newaxis])
-    ))
-  return out
+    return codec.compress(np.asfortranarray(pooled[:, :, np.newaxis]))
+
+  n_workers = parallel if parallel > 0 else (os.cpu_count() or 1)
+  n_workers = _min(_max(n_workers, 1), _max(head.sz, 1))
+  if n_workers == 1 or head.sz <= 1:
+    return [pool_one(z) for z in range(head.sz)]
+  with _fut.ThreadPoolExecutor(n_workers) as ex:
+    return list(ex.map(pool_one, range(head.sz)))
 
 
 def connected_components_3d(binary: bytes, connectivity: int = 26,

@@ -63,6 +63,18 @@ def run(stash_interpret, zs):
     finally:
       ccl_pallas.INTERPRET = old
 
+  # host oracle: the pure-python replay (ops/crackcode.py)
+  from crackle_tpu.ops import crackcode as cc_ops
+  codes = _codec.crack_codes(binary)
+  for i, z in enumerate(zs):
+    want = cc_ops.slice_code_to_vcg(
+      codes[z], head.sx, head.sy, permissible)
+    for tag in results:
+      got = results[tag]["vcg"][i]
+      n = int((got.ravel() != want.ravel()).sum())
+      status = "OK " if n == 0 else "BAD"
+      print(f"  {status} vcg[{tag}] z={z} diffs-vs-host-oracle={n}")
+
   order = [k for k in results["interp"]]
   bad = False
   for k in order:

@@ -302,6 +302,40 @@ def test_replay_big_wide_slices(force_big, shape, nl, seed, smooth):
   np.testing.assert_array_equal(out, vol)
 
 
+def test_replay_big_long_scope_across_chunks(force_big):
+  """Round-3/4 regression: a move whose scope close lies beyond the
+  chunk lookahead row must fall through to the inter-chunk carry. The
+  old _scope_kernel's shift fill fabricated a depth-segment boundary
+  at every chunk seam, dropping those moves' cancellations (40/512
+  slices of the 512^3 bench corpus decoded wrong).
+
+  A square spiral path makes a region whose boundary is a single long
+  branch-poor curve, so sorted depth segments span thousands of
+  events — with CHUNK_R=2 (256-codepoint windows) the move->close
+  span crosses many seams (3350 wrong VCG entries under the old
+  kernel)."""
+  vol = np.zeros((65, 65, 1), dtype=np.uint32)
+  x0 = y0 = 0
+  x1 = y1 = 64
+  while x1 > x0:
+    vol[x0:x1 + 1, y0, 0] = 1
+    vol[x1, y0:y1 + 1, 0] = 1
+    vol[x0:x1 + 1, y1, 0] = 1
+    if y0 + 2 <= y1:
+      vol[x0, y0 + 2:y1 + 1, 0] = 1
+    x0 += 2; y0 += 2; x1 -= 2; y1 -= 2
+  vol = np.asfortranarray(vol)
+  binary = crackle.compress(vol)
+  from crackle_tpu import codec
+  from crackle_tpu.lib import ctoi
+  code = codec.crack_codes(binary)[0]
+  n_cps = (len(code) - 4 - ctoi(code, 0, 4)) * 4
+  assert n_cps > 3 * 256, f"case regressed: {n_cps} cps"
+  out = engine.decode_window(binary, 0, 1)
+  assert out is not None
+  np.testing.assert_array_equal(out, vol)
+
+
 def test_replay_big_long_stream_two_key_sort(monkeypatch):
   """A noisy 128^2 slice exceeds 16384 codepoints, which forces the
   two-operand (depth, pos) lexicographic sort (the packed int32 key
