@@ -94,3 +94,199 @@ def component_labels(labels_zyx, cc, N, sx: int, sy: int):
     return jnp.take_along_axis(flat_labels, first, axis=1)
 
   return tables(flat_labels, cc, cap_n)
+
+
+# ---------------------------------------------------------------------------
+# full device encode (flat labels, markov 0)
+# ---------------------------------------------------------------------------
+
+def _use_device_encode() -> bool:
+  from . import ccl_pallas
+  if ccl_pallas._NO_PALLAS:
+    return False
+  if ccl_pallas.INTERPRET:
+    return True
+  return jax.default_backend() == "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("sx", "sy", "wide"))
+def _encode_stage1(planes, sx: int, sy: int, wide: bool):
+  """Per-voxel encode stages on device: VCG + CCL + per-slice crc32c
+  + flat num_pairs/max reductions.
+
+  planes: (B, sy, sx) int32 label batch, or a (planes_lo, planes_hi)
+  tuple for 64-bit labels (x64 stays off on TPU)."""
+  from . import ccl_pallas, crc32c_tpu
+  if wide:
+    lo, hi = planes
+    B = lo.shape[0]
+    eq = lambda a, b: (a == b)
+    same_x = eq(lo[:, :, :-1], lo[:, :, 1:]) & eq(hi[:, :, :-1],
+                                                  hi[:, :, 1:])
+    same_y = eq(lo[:, :-1, :], lo[:, 1:, :]) & eq(hi[:, :-1, :],
+                                                  hi[:, 1:, :])
+    a = lo
+  else:
+    a = planes
+    B = a.shape[0]
+    same_x = a[:, :, :-1] == a[:, :, 1:]
+    same_y = a[:, :-1, :] == a[:, 1:, :]
+  z = jnp.zeros((B, a.shape[1], 1), bool)
+  zy = jnp.zeros((B, 1, a.shape[2]), bool)
+  right = jnp.concatenate([same_x, z], axis=2)
+  left = jnp.concatenate([z, same_x], axis=2)
+  down = jnp.concatenate([same_y, zy], axis=1)
+  up = jnp.concatenate([zy, same_y], axis=1)
+  vcg = (right.astype(jnp.uint8)
+         | (left.astype(jnp.uint8) << 1)
+         | (down.astype(jnp.uint8) << 2)
+         | (up.astype(jnp.uint8) << 3)).reshape(B, sy * sx)
+  cc, N = ccl_pallas.ccl_batch_traced(vcg, sx, sy)
+  crcs = crc32c_tpu.crc32c_device(cc.reshape(B, sy * sx))
+  # flat F-order pixel pairs within the window (x-fastest; includes
+  # the row/slice wrap pairs, lib.hpp pixel_pairs parity)
+  flat = a.reshape(B * sy * sx)
+  if wide:
+    flat_hi = hi.reshape(B * sy * sx)
+    pairs = jnp.sum((flat[1:] == flat[:-1])
+                    & (flat_hi[1:] == flat_hi[:-1]))
+  else:
+    pairs = jnp.sum(flat[1:] == flat[:-1])
+  return vcg, cc, N, crcs, pairs
+
+
+def encode_flat_device(labels, parallel: int = 0,
+                       fortran_order: bool = True):
+  """TPU-path compress for flat labels / markov 0: the per-voxel
+  stages (boundary VCG, first-visit CCL, per-component source-label
+  tables, per-slice CRC32C, format-choice reductions) run batched on
+  device; the host tail is the intrinsically serial per-slice DFS
+  trace (native, from the fetched VCG) plus byte assembly — the
+  TPU-native analog of the reference's thread-pooled encode
+  (crackcodes.hpp:498-521, labels.hpp:30-155).
+
+  labels: (sx, sy, sz) unsigned array (numpy or jax, any order).
+  Returns the complete .ckl bytes, or None when the shape/stream
+  needs the host path (caller falls back)."""
+  from . import ccl_pallas
+  from .. import codec as _codec
+  from ..headers import (CrackleHeader, CrackFormat, LabelFormat)
+  from ..lib import (compute_byte_width, width2dtype, crc32c, itoc)
+  from .. import native
+
+  if not (_use_device_encode() and native.available()):
+    return None
+
+  if isinstance(labels, jnp.ndarray) and not isinstance(
+      labels, np.ndarray):
+    sx, sy, sz = labels.shape
+    np_dtype = np.dtype(labels.dtype.name)
+  else:
+    labels = np.asarray(labels)
+    sx, sy, sz = labels.shape
+    np_dtype = labels.dtype
+  if sx * sy * sz == 0 or not ccl_pallas.use_pallas(sx, sy):
+    return None
+
+  wide = np_dtype.itemsize == 8
+  # device layout: (z, y, x) so slices batch and x rides the lanes
+  if isinstance(labels, np.ndarray):
+    zyx = np.ascontiguousarray(np.transpose(labels, (2, 1, 0)))
+    if wide:
+      planes = (jnp.asarray((zyx & 0xffffffff).astype(np.uint32)
+                            .view(np.int32)),
+                jnp.asarray((zyx >> 32).astype(np.uint32)
+                            .view(np.int32)))
+    else:
+      planes = jnp.asarray(zyx.astype(np.uint32).view(np.int32))
+  else:
+    zyx = jnp.transpose(labels, (2, 1, 0))
+    if wide:
+      return None  # device u64 arrays need x64; host path handles it
+    planes = zyx.astype(jnp.uint32).view(jnp.int32) \
+      if zyx.dtype != jnp.int32 else zyx
+
+  vcg_d, cc_d, N_d, crcs_d, pairs_d = _encode_stage1(
+    planes, sx, sy, wide)
+  N = np.asarray(N_d)
+  if wide:
+    t_lo = component_labels(planes[0], cc_d, N, sx, sy)
+    t_hi = component_labels(planes[1], cc_d, N, sx, sy)
+    tables = (np.asarray(t_lo).view(np.uint32).astype(np.uint64)
+              | (np.asarray(t_hi).view(np.uint32)
+                 .astype(np.uint64) << 32))
+  else:
+    tables = np.asarray(
+      component_labels(planes, cc_d, N, sx, sy)
+    ).view(np.uint32).astype(np.uint64)
+
+  vcg = np.asarray(vcg_d)
+  crcs = np.asarray(crcs_d).astype(np.uint32)
+  num_pairs = int(np.asarray(pairs_d))
+
+  voxels = sx * sy * sz
+  permissible = num_pairs < voxels // 2
+  crack_format = (CrackFormat.PERMISSIBLE if permissible
+                  else CrackFormat.IMPERMISSIBLE)
+
+  mapping = np.concatenate([tables[z, :N[z]] for z in range(sz)]) \
+    if sz else np.zeros(0, np.uint64)
+  uniq = np.unique(mapping)
+  max_label = int(uniq[-1]) if len(uniq) else 0
+  stored_width = compute_byte_width(max_label)
+  stored_dtype = width2dtype[stored_width]
+
+  # host tail: per-slice DFS trace from the device VCG (threaded;
+  # the native call releases the GIL)
+  sxy = sx * sy
+  codes: list = [None] * sz
+
+  def one(z):
+    codes[z] = native.encode_slice_vcg(vcg[z], sx, sy, permissible)
+
+  n_threads = _codec._pool_size(parallel, sz)
+  if n_threads <= 1 or sz <= 1:
+    for z in range(sz):
+      one(z)
+  else:
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(n_threads) as pool:
+      list(pool.map(one, range(sz)))
+  if any(c is None for c in codes):
+    return None
+
+  keys = np.searchsorted(uniq, mapping)
+  key_width = compute_byte_width(len(uniq))
+  component_width = compute_byte_width(sxy)
+  labels_binary = b''.join([
+    itoc(len(uniq), 8),
+    np.ascontiguousarray(uniq.astype(stored_dtype)).tobytes(),
+    np.ascontiguousarray(
+      N.astype(np.uint64).astype(width2dtype[component_width])
+    ).tobytes(),
+    np.ascontiguousarray(keys.astype(width2dtype[key_width])).tobytes(),
+  ])
+
+  head = CrackleHeader(
+    label_format=LabelFormat.FLAT,
+    crack_format=crack_format,
+    data_width=np_dtype.itemsize,
+    stored_data_width=stored_width,
+    sx=sx, sy=sy, sz=sz,
+    num_label_bytes=len(labels_binary),
+    fortran_order=fortran_order,
+    grid_size=2 ** 31,
+    signed=False,
+    markov_model_order=0,
+    is_sorted=True,
+  )
+  z_index = np.array([len(c) for c in codes], dtype='<u4').tobytes()
+  z_index += itoc(crc32c(z_index), 4)
+  return b''.join([
+    head.tobytes(),
+    z_index,
+    labels_binary,
+    *codes,
+    itoc(crc32c(labels_binary), 4),
+    np.asarray(crcs, dtype='<u4').tobytes(),
+  ])
