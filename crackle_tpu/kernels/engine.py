@@ -38,36 +38,44 @@ def prepare_slice_inputs(binary: bytes, z_start: int, z_end: int):
   codes = _codec.crack_codes(binary)[z_start:z_end]
   B = len(codes)
 
-  packed_list = []
-  nodes_list = []
-  for code in codes:
+  def prep_one(code):
     if len(code) == 0:
-      packed_list.append(b'')
-      nodes_list.append(np.zeros(0, np.int64))
-      continue
+      return b'', np.zeros(0, np.int64)
     index_size = 4 + ctoi(code, 0, 4)
-    nodes_list.append(_cc.read_boc_index(code, head.sx, head.sy))
-    if markov:
-      from ..models import markov as _markov
-      cps = _markov.decode_markov(
-        code[index_size:], model, head.markov_model_order
-      ).astype(np.int64)
-      # re-diff (mod 4) and pack 4 codepoints/byte; zero-pad diffs in
-      # the last byte replicate the final codepoint, which can never
-      # form a branch/terminate reversal pair, so the replay's
-      # validity logic drops them exactly like sub-byte padding in
-      # non-markov streams
-      diffs = cps.copy()
-      diffs[1:] = (cps[1:] - cps[:-1]) & 3
-      pad = (-len(diffs)) % 4
-      if pad:
-        diffs = np.concatenate([diffs, np.zeros(pad, np.int64)])
-      q = diffs.reshape(-1, 4)
-      by = (q[:, 0] | (q[:, 1] << 2) | (q[:, 2] << 4)
-            | (q[:, 3] << 6)).astype(np.uint8)
-      packed_list.append(by.tobytes())
-    else:
-      packed_list.append(code[index_size:])
+    nodes = _cc.read_boc_index(code, head.sx, head.sy)
+    if not markov:
+      return code[index_size:], nodes
+    from ..models import markov as _markov
+    cps = _markov.decode_markov(
+      code[index_size:], model, head.markov_model_order
+    ).astype(np.int64)
+    # re-diff (mod 4) and pack 4 codepoints/byte; zero-pad diffs in
+    # the last byte replicate the final codepoint, which can never
+    # form a branch/terminate reversal pair, so the replay's
+    # validity logic drops them exactly like sub-byte padding in
+    # non-markov streams
+    diffs = cps.copy()
+    diffs[1:] = (cps[1:] - cps[:-1]) & 3
+    pad = (-len(diffs)) % 4
+    if pad:
+      diffs = np.concatenate([diffs, np.zeros(pad, np.int64)])
+    q = diffs.reshape(-1, 4)
+    by = (q[:, 0] | (q[:, 1] << 2) | (q[:, 2] << 4)
+          | (q[:, 3] << 6)).astype(np.uint8)
+    return by.tobytes(), nodes
+
+  if markov and B > 8:
+    # the rank decode is serial per slice (markov.hpp:268-323) but
+    # slices are independent; the native bitstream decoder releases
+    # the GIL, so a thread pool parallelizes across slices
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(min(_os.cpu_count() or 1, B)) as pool:
+      prepped = list(pool.map(prep_one, codes))
+  else:
+    prepped = [prep_one(c) for c in codes]
+  packed_list = [p for p, _ in prepped]
+  nodes_list = [n for _, n in prepped]
 
   max_bytes = max((len(p) for p in packed_list), default=0)
   max_chains = max((len(n) for n in nodes_list), default=0)

@@ -355,3 +355,22 @@ def test_replay_big_long_stream_two_key_sort(monkeypatch):
   assert out is not None
   np.testing.assert_array_equal(out, vol)
   jax.clear_caches()
+
+
+@pytest.mark.parametrize("order", [1, 3, 5, 7])
+def test_markov_stream_device_path(monkeypatch, order):
+  from crackle_tpu.kernels import ccl_pallas
+  monkeypatch.setattr(ccl_pallas, "INTERPRET", True)
+  """Markov streams are DeviceStream-eligible: the serial rank decode
+  runs once at upload (host, threaded across slices like the
+  reference's markov.hpp:268-323 pool); every window decode after
+  that is pure device work, crc-gated."""
+  vol = random_volume((40, 40, 6), 20, 71, 5)
+  binary = crackle.compress(vol)
+  bm = crackle.reencode(binary, markov_model_order=order)
+  stream = engine.upload_stream(bm)
+  assert stream is not None
+  labels, cc, N = stream.decode_window(0, 6, check_crcs=True)
+  got = np.asarray(labels).astype(vol.dtype) \
+    .reshape(6, 40, 40).transpose(2, 1, 0)
+  np.testing.assert_array_equal(got, vol)
