@@ -224,6 +224,27 @@ def encode_flat_device(labels, parallel: int = 0,
   crcs = np.asarray(crcs_d).astype(np.uint32)
   num_pairs = int(np.asarray(pairs_d))
 
+  return assemble_flat_stream(
+    vcg, tables, N, crcs, num_pairs, sx, sy, sz,
+    data_width=np_dtype.itemsize, fortran_order=fortran_order,
+    parallel=parallel)
+
+
+def assemble_flat_stream(vcg, tables, N, crcs, num_pairs,
+                         sx: int, sy: int, sz: int, *,
+                         data_width: int, fortran_order: bool,
+                         parallel: int = 0):
+  """Host tail shared by the single-device and sharded encodes: the
+  per-slice DFS trace from fetched VCGs (threaded) + flat-label and
+  container assembly. Byte-identical to codec.compress.
+
+  vcg (sz, sy*sx) u8, tables (sz, cap) u64, N (sz,), crcs (sz,) u32,
+  num_pairs: flat F-order pixel-pair count of the full volume."""
+  from .. import codec as _codec
+  from ..headers import CrackleHeader, CrackFormat, LabelFormat
+  from ..lib import compute_byte_width, width2dtype, crc32c, itoc
+  from .. import native
+
   voxels = sx * sy * sz
   permissible = num_pairs < voxels // 2
   crack_format = (CrackFormat.PERMISSIBLE if permissible
@@ -236,8 +257,8 @@ def encode_flat_device(labels, parallel: int = 0,
   stored_width = compute_byte_width(max_label)
   stored_dtype = width2dtype[stored_width]
 
-  # host tail: per-slice DFS trace from the device VCG (threaded;
-  # the native call releases the GIL)
+  # per-slice DFS trace from the device VCG (threaded; the native
+  # call releases the GIL)
   sxy = sx * sy
   codes: list = [None] * sz
 
@@ -262,7 +283,8 @@ def encode_flat_device(labels, parallel: int = 0,
     itoc(len(uniq), 8),
     np.ascontiguousarray(uniq.astype(stored_dtype)).tobytes(),
     np.ascontiguousarray(
-      N.astype(np.uint64).astype(width2dtype[component_width])
+      np.asarray(N).astype(np.uint64)
+      .astype(width2dtype[component_width])
     ).tobytes(),
     np.ascontiguousarray(keys.astype(width2dtype[key_width])).tobytes(),
   ])
@@ -270,7 +292,7 @@ def encode_flat_device(labels, parallel: int = 0,
   head = CrackleHeader(
     label_format=LabelFormat.FLAT,
     crack_format=crack_format,
-    data_width=np_dtype.itemsize,
+    data_width=data_width,
     stored_data_width=stored_width,
     sx=sx, sy=sy, sz=sz,
     num_label_bytes=len(labels_binary),

@@ -1,4 +1,4 @@
 from .sharding import (
   make_mesh, decompress_sharded, decode_window_ccl_sharded,
-  voxel_counts_sharded, sharded_roundtrip_step,
+  voxel_counts_sharded, sharded_roundtrip_step, compress_sharded,
 )

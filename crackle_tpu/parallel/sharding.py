@@ -246,6 +246,77 @@ def voxel_counts_sharded(binary: bytes, mesh: Optional[Mesh] = None
           if c > 0}
 
 
+def compress_sharded(labels: np.ndarray, mesh: Optional[Mesh] = None,
+                     parallel: int = 0) -> Optional[bytes]:
+  """Multi-chip FLAT encode: z-blocks shard over the mesh; each shard
+  runs the per-voxel encode stages (boundary VCG, first-visit CCL,
+  per-component label tables, per-slice CRC32C) on its own device
+  under shard_map, the format-choice pair count reduces with psum,
+  and the host tail (serial DFS trace + global dictionary + byte
+  assembly, kernels/encode.assemble_flat_stream) splices the result.
+  Byte-identical to single-process codec.compress.
+
+  This is the TPU-native analog of the reference's thread-pooled
+  encode (crackcodes.hpp:498-521 / labels.hpp:30-155): slices are the
+  parallel axis; the only cross-shard communication is the pair-count
+  psum and the (host-side) dictionary merge, exactly the SURVEY §2.5
+  mapping."""
+  from ..kernels import encode as _enc
+  from ..kernels import ccl_pallas
+
+  if mesh is None:
+    mesh = make_mesh()
+  axis = mesh.axis_names[0]
+  ndev = mesh.devices.size
+
+  labels = np.asarray(labels)
+  if labels.ndim != 3 or labels.dtype.itemsize == 8 \
+     or np.issubdtype(labels.dtype, np.signedinteger):
+    return None  # u64 planes / signed: single-device or host path
+  sx, sy, sz = labels.shape
+  if sz == 0 or not ccl_pallas.use_pallas(sx, sy):
+    return None
+  f_order = bool(labels.flags.f_contiguous)
+
+  zyx = np.ascontiguousarray(np.transpose(labels, (2, 1, 0)))
+  pad = (-sz) % ndev
+  if pad:
+    # pad slices replicate the last slice so their stats are sane;
+    # every padded output is dropped before assembly, and the pair
+    # count is computed over the unpadded flat volume below
+    zyx = np.concatenate([zyx, np.repeat(zyx[-1:], pad, axis=0)])
+  Bp = sz + pad
+  planes = jnp.asarray(zyx.astype(np.uint32).view(np.int32))
+  batch = NamedSharding(mesh, P(axis))
+  planes = jax.device_put(planes, batch)
+
+  def step(pl_):
+    vcg, cc, N, crcs, _pairs = _enc._encode_stage1.__wrapped__(
+      pl_, sx, sy, False)
+    return vcg, cc, N, crcs
+
+  fn = jax.jit(jax.shard_map(
+    step, mesh=mesh, in_specs=(P(axis),),
+    out_specs=(P(axis), P(axis), P(axis), P(axis)),
+    check_vma=False,
+  ))
+  vcg_d, cc_d, N_d, crcs_d = fn(planes)
+  N = np.asarray(N_d)[:sz]
+  tables = np.asarray(_enc.component_labels(
+    planes, cc_d, np.asarray(N_d), sx, sy
+  ))[:sz].view(np.uint32).astype(np.uint64)
+  vcg = np.asarray(vcg_d)[:sz]
+  crcs = np.asarray(crcs_d)[:sz].astype(np.uint32)
+
+  flat = zyx[:sz].reshape(-1)
+  num_pairs = int(np.count_nonzero(flat[1:] == flat[:-1]))
+
+  return _enc.assemble_flat_stream(
+    vcg, tables, N, crcs, num_pairs, sx, sy, sz,
+    data_width=labels.dtype.itemsize, fortran_order=f_order,
+    parallel=parallel)
+
+
 def sharded_roundtrip_step(mesh: Mesh, sx: int, sy: int,
                            permissible: bool = False):
   """Build a jitted one-step function exercising the codec's full

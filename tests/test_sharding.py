@@ -110,3 +110,24 @@ def test_decompress_sharded_formats():
     out = parallel.decompress_sharded(binary, mesh)
     assert out is not None
     np.testing.assert_array_equal(out, crackle.decompress(binary))
+
+
+def test_compress_sharded_byte_identity(monkeypatch):
+  """Multi-chip encode: per-voxel stages shard over the mesh; the
+  assembled stream must be byte-identical to single-process
+  compress."""
+  from crackle_tpu.kernels import ccl_pallas
+  from crackle_tpu.parallel import sharding
+  monkeypatch.setattr(ccl_pallas, "INTERPRET", True)
+  jax.clear_caches()
+  for shape, nl, seed, smooth in [
+      ((24, 24, 16), 8, 61, 4),    # z divisible by 8
+      ((20, 18, 11), 6, 62, 3),    # ragged z -> padded shard
+      ((16, 16, 3), 2, 63, 0),     # noisy -> impermissible
+  ]:
+    vol = random_volume(shape, nl, seed, smooth)
+    want = crackle.compress(vol)
+    got = sharding.compress_sharded(vol, parallel.make_mesh())
+    assert got is not None
+    assert got == want, f"shape {shape}: sharded encode bytes differ"
+  jax.clear_caches()
