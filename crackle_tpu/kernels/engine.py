@@ -2,6 +2,7 @@
 pads per-slice crack streams into fixed-shape device arrays (bucketed
 to limit recompiles), launches the batched kernels, and assembles the
 output volume."""
+import os as _os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -20,6 +21,19 @@ def _next_pow2(x: int) -> int:
   if x <= 1:
     return 1
   return 1 << (x - 1).bit_length()
+
+
+# Streams whose longest slice exceeds this codepoint capacity decode
+# on the host: both the chunked Pallas replay and the XLA pipeline
+# hit multi-ten-minute compiles at R = CAP/128 >= 4096 (see
+# BENCH_NOTES "compile-time cliffs"), and such streams (binary-noise
+# class, >2 bits/voxel) are outside the codec's size win anyway.
+MAX_DEVICE_CAP = int(_os.environ.get("CRACKLE_TPU_MAX_DEVICE_CAP",
+                                     1 << 17))
+
+
+def _device_cap_ok(inputs) -> bool:
+  return inputs["packed"].shape[1] * 4 <= MAX_DEVICE_CAP
 
 
 def prepare_slice_inputs(binary: bytes, z_start: int, z_end: int):
@@ -106,7 +120,7 @@ def decode_window_ccl_device(binary: bytes, z_start: int, z_end: int):
   on device. Returns (cc (B, sy*sx) int32, N (B,) int32, head) —
   the batched input for device analytics (kernels/stats_pallas.py)."""
   inputs = prepare_slice_inputs(binary, z_start, z_end)
-  if inputs is None:
+  if inputs is None or not _device_cap_ok(inputs):
     return None
   head = inputs["head"]
   permissible = head.crack_format == CrackFormat.PERMISSIBLE
@@ -250,7 +264,7 @@ def decode_window_device(binary: bytes, z_start: int, z_end: int):
     if tables is None:
       return None
     inputs = prepare_slice_inputs(binary, z_start, z_end)
-    if inputs is None:
+    if inputs is None or not _device_cap_ok(inputs):
       return None
     pin_locs, pin_labs, single_ids, single_labs, bg32, cap_n = tables
     permissible = head.crack_format == CrackFormat.PERMISSIBLE
@@ -266,7 +280,7 @@ def decode_window_device(binary: bytes, z_start: int, z_end: int):
   if head.label_format != LabelFormat.FLAT:
     return None
   inputs = prepare_slice_inputs(binary, z_start, z_end)
-  if inputs is None:
+  if inputs is None or not _device_cap_ok(inputs):
     return None
   uniq, cum, keys = _flat_label_tables(head, binary)
   wide = uniq.dtype.itemsize > 4
@@ -386,7 +400,7 @@ def upload_stream(binary: bytes) -> Optional[DeviceStream]:
     return None
   from . import ccl_pallas
   inputs = prepare_slice_inputs(binary, 0, head.sz)
-  if inputs is None:
+  if inputs is None or not _device_cap_ok(inputs):
     return None
   uniq, cum, keys = _flat_label_tables(head, binary)
   n_per_slice = cum[1:head.sz + 1] - cum[0:head.sz]

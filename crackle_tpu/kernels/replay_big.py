@@ -54,7 +54,12 @@ _I32MAX = np.iinfo(np.int32).max
 PAINT_LO = 512   # paint scatter lane width (one segment of a dual row)
 PAINT_W = 16     # paint scatter: bin-row window height per matmul
 CANCEL_W = 16    # cancel scatter window height (bins = position grid)
-MAX_CAP = 1 << 19
+# Mosaic compile time explodes with the stream row count (R = CAP/128):
+# R=512 compiles in under a minute, R=4096 was still compiling after
+# 28 minutes (binary-noise 512^2 slices). Cap the fused path at
+# R=1024; longer streams take the XLA fallback, which compiles fast
+# and is the correctness-oracle path.
+MAX_CAP = 1 << 17
 
 # rows per chunk of the in-kernel scans (tests shrink this to cover
 # the multi-chunk carry paths on small streams)
