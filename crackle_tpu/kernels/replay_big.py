@@ -65,6 +65,22 @@ MAX_CAP = 1 << 17
 # the multi-chunk carry paths on small streams)
 CHUNK_R = 256
 
+import os as _os
+
+# Alternative cancel path: aggregate per-close run sums in sorted
+# event order (segmented scans), compact the ~3% close records with a
+# windowed value-scatter, sort only the compact tables, and scatter
+# the summed values. Byte-correct on hardware but measured SLOWER
+# than the per-move sort it replaces (512^3, B=512: compaction
+# kernel 70.9 ms + narrow 3-operand sort 20.3 ms + run-sum kernel
+# 11 ms + lims 6.5 ms vs the 27.5 ms full-width single-key sort —
+# XLA's bitonic sort at 0.8 ns/element beats value-carrying one-hot
+# matmul scatters, which need Precision.HIGHEST since bf16 one-hot
+# tricks only stay exact for +-1 weights). Kept behind a flag as the
+# measured negative result; default = the sort path.
+CANCEL_COMPACT = _os.environ.get(
+  "CRACKLE_TPU_CANCEL_COMPACT", "0") == "1"
+
 
 def _chunk_rows(R: int) -> int:
   if R <= CHUNK_R:
@@ -212,6 +228,196 @@ def _keys_kernel_big(diffs_ref, meta_ref, *out_refs, CAP, Rc, mode):
     chunk(0, _carr_init())
   else:
     jax.lax.fori_loop(0, NCH, chunk, _carr_init())
+
+
+# A slice's close (term) count is bounded by the pair structure:
+# cps = moves + 2(branches + terms) and terms = branches + chains give
+# terms <= (cps + 2*chains)/4. The compact cancel tables size to that
+# bound, so overflow is impossible for well-formed streams of the
+# given CAP; corrupt streams fall to the CRC gate like everywhere.
+def _close_rows(CAP: int, CAP_CH: int) -> int:
+  bound = (CAP + 2 * CAP_CH) // 4 + 1
+  rows = -(-bound // LANES)
+  return -(-rows // 4) * 4  # multiple of the scatter group size
+
+
+def _decode_evt(mode, refs, r0, rows, CAP):
+  """Decode a window of sorted event slots into
+  (inf, cps, close, pos, depth)."""
+  if mode == "packed":
+    sk = refs[0][0, pl.ds(r0, rows), :]
+    inf = jnp.where(sk == _I32MAX, 1, 0)
+    cps = sk & 3
+    close = ((sk >> 2) & 1) * (1 - inf)
+    body = sk >> 3
+    pos = body & (CAP - 1)
+    depth = body >> int(np.log2(CAP))
+  elif mode == "mid":
+    sk = refs[0][0, pl.ds(r0, rows), :]
+    fl = refs[1][0, pl.ds(r0, rows), :].astype(jnp.int32)
+    inf = jnp.where(sk == _I32MAX, 1, 0)
+    cps = fl & 3
+    close = ((fl >> 2) & 1) * (1 - inf)
+    pos = sk & (CAP - 1)
+    depth = sk >> int(np.log2(CAP))
+  else:
+    depth = refs[0][0, pl.ds(r0, rows), :]
+    kp = refs[1][0, pl.ds(r0, rows), :]
+    inf = jnp.where(depth == _I32MAX, 1, 0)
+    cps = kp & 3
+    close = ((kp >> 2) & 1) * (1 - inf)
+    pos = kp >> 3
+  return inf, cps, close, pos, depth
+
+
+_SENT = _I32MAX
+
+
+def _op_lastset(a, b):
+  """Later-set-wins fold for forward scans; unit = _SENT."""
+  return jnp.where(b == _SENT, a, b)
+
+
+def _cancel_sums_kernel(*refs, CAP, Rc, mode):
+  """Per-close cancel run sums in sorted-event order (forward
+  chunked). A depth segment is runs of moves each ended by their
+  shared close, so each close's cancel contribution is the sum of
+  -delta over the moves since the previous close (or segment start).
+  Emits dense (dest = close rank, pos, sumH, sumV); non-closes get
+  dest = -1."""
+  n_in = 1 if mode == "packed" else 2
+  in_refs = refs[:n_in]
+  dest_ref, cpos_ref, sh_ref, sv_ref = refs[n_in:]
+  C = LANES
+  R = CAP // C
+  NCH = R // Rc
+
+  def chunk(k, carr):
+    (c_depth, c_cumh, c_cumv, c_lah, c_lav, c_rank) = carr
+    r0 = pl.multiple_of(k * Rc, Rc)
+    inf, cps, close, pos, depth = _decode_evt(mode, in_refs, r0, Rc,
+                                              CAP)
+    move = (1 - inf) * (1 - close)
+    # cancel contributions: -delta, split into H (x) and V (y, in
+    # units of sxe) exactly like the replay kernel's deltas
+    dh = move * (jnp.where(cps == 1, -1, 0)
+                 + jnp.where(cps == 3, 1, 0))
+    dv = move * (jnp.where(cps == 2, -1, 0)
+                 + jnp.where(cps == 0, 1, 0))
+    cumh = _flat_cumsum(dh) + _bc11(c_cumh, dh.shape)
+    cumv = _flat_cumsum(dv) + _bc11(c_cumv, dv.shape)
+    cumh_prev = _shift_right_v(cumh, c_cumh)
+    cumv_prev = _shift_right_v(cumv, c_cumv)
+
+    depth_prev = _shift_right_v(depth, c_depth)
+    seg_first = jnp.where(depth != depth_prev, 1, 0)
+
+    def last_anchor(cum, cum_prev, c_la):
+      A = jnp.where(seg_first > 0, cum_prev,
+                    jnp.where(close > 0, cum, _SENT))
+      la = _flat_scan(A, _op_lastset, _SENT)
+      la = jnp.where(la == _SENT, _bc11(c_la, la.shape), la)
+      la_prev = _shift_right_v(la, c_la)
+      return la, la_prev
+
+    lah, lah_prev = last_anchor(cumh, cumh_prev, c_lah)
+    lav, lav_prev = last_anchor(cumv, cumv_prev, c_lav)
+
+    sumh = close * jnp.where(seg_first > 0, 0, cumh - lah_prev)
+    sumv = close * jnp.where(seg_first > 0, 0, cumv - lav_prev)
+
+    rank = _flat_cumsum(close) + _bc11(c_rank, close.shape)
+    dest = jnp.where(close > 0, rank - 1, -1)
+
+    dest_ref[0, pl.ds(r0, Rc), :] = dest
+    cpos_ref[0, pl.ds(r0, Rc), :] = pos
+    sh_ref[0, pl.ds(r0, Rc), :] = sumh
+    sv_ref[0, pl.ds(r0, Rc), :] = sumv
+
+    e = Rc - 1
+    return (depth[e, C - 1], cumh[e, C - 1], cumv[e, C - 1],
+            lah[e, C - 1], lav[e, C - 1], rank[e, C - 1])
+
+  init = (jnp.int32(-1), jnp.int32(0), jnp.int32(0),
+          jnp.int32(0), jnp.int32(0), jnp.int32(0))
+  if NCH == 1:
+    chunk(0, init)
+  else:
+    jax.lax.fori_loop(0, NCH, chunk, init)
+
+
+def _compact_kernel(dest_ref, cpos_ref, sh_ref, sv_ref, lim_ref,
+                    out_pos, out_sh, out_sv, scr_pos, scr_sh, scr_sv,
+                    *, R, CROWS, G):
+  """Windowed value-scatter of the (rank-indexed) close records into
+  compact tables. Destinations are monotone (rank order), so per-group
+  windows are narrow; the per-group [start, span] pairs come from the
+  XLA-side close-count prefix (lim_ref)."""
+  C = LANES
+  W = CANCEL_W
+  iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
+  iota_lo = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+  zero = jnp.zeros((CROWS + W, C), jnp.float32)
+  scr_pos[:, :] = zero
+  scr_sh[:, :] = zero
+  scr_sv[:, :] = zero
+
+  def group(j, carry):
+    his = []
+    Blos = []
+    vals = []
+    for g in range(G):
+      d = dest_ref[0, pl.ds(j * G + g, 1), :]
+      p = cpos_ref[0, pl.ds(j * G + g, 1), :]
+      sh = sh_ref[0, pl.ds(j * G + g, 1), :]
+      sv = sv_ref[0, pl.ds(j * G + g, 1), :]
+      valid = d >= 0
+      hi = jnp.where(valid, d >> 7, 2 * CROWS + 2 * W)
+      lo = jnp.where(valid, d & (C - 1), C)
+      his.append(jax.lax.broadcast_in_dim(hi, (W, C), (0, 1)))
+      lob = jax.lax.broadcast_in_dim(lo, (C, C), (0, 1))
+      Blos.append(jnp.where(lob == iota_lo, jnp.float32(1),
+                            jnp.float32(0)))
+      vals.append((
+        jax.lax.broadcast_in_dim((p + 1).astype(jnp.float32), (W, C),
+                                 (0, 1)),
+        jax.lax.broadcast_in_dim(sh.astype(jnp.float32), (W, C),
+                                 (0, 1)),
+        jax.lax.broadcast_in_dim(sv.astype(jnp.float32), (W, C),
+                                 (0, 1)),
+      ))
+    bq = lim_ref[0, 0, j]
+    nsub = lim_ref[0, 1, j]
+
+    def sub(w, c2):
+      start = (bq + w) * W
+      parts = [jnp.zeros((W, C), jnp.float32) for _ in range(3)]
+      for g in range(G):
+        m = jnp.where(his[g] - start == iota_w, jnp.float32(1),
+                      jnp.float32(0))
+        for t in range(3):
+          # HIGHEST: TPU default f32 dots multiply in bf16, which is
+          # exact for the 0/1 one-hots elsewhere but not for these
+          # value operands (positions up to 2*CAP, sums up to CAP)
+          parts[t] = parts[t] + jax.lax.dot_general(
+            m * vals[g][t], Blos[g], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+          )
+      scr_pos[pl.ds(start, W), :] = scr_pos[pl.ds(start, W), :] + parts[0]
+      scr_sh[pl.ds(start, W), :] = scr_sh[pl.ds(start, W), :] + parts[1]
+      scr_sv[pl.ds(start, W), :] = scr_sv[pl.ds(start, W), :] + parts[2]
+      return c2
+
+    jax.lax.fori_loop(0, nsub, sub, 0)
+    return carry
+
+  jax.lax.fori_loop(0, R // G, group, 0)
+
+  p = scr_pos[0:CROWS, :].astype(jnp.int32)
+  out_pos[0] = jnp.where(p > 0, p - 1, jnp.int32(2 * R * C))
+  out_sh[0] = scr_sh[0:CROWS, :].astype(jnp.int32)
+  out_sv[0] = scr_sv[0:CROWS, :].astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -375,13 +581,89 @@ def _replay_kernel_big(cls_ref, stk_ref, limc_ref, nodes_ref,
                        vh_ref, acc_scr, *, CAP, Rc, sx, sy, NSEG, G):
   C = LANES
   R = CAP // C
-  NCH = R // Rc
-  sxe = sx + 1
-  HIS = 2 * NSEG * (sy + 1)
 
   acc_scr[:, :] = jnp.zeros((2 * R + CANCEL_W, C), jnp.float32)
   _scatter_sorted_keys(stk_ref, limc_ref, acc_scr, R=R, W=CANCEL_W,
                        LO=C, G=G, signed=True)
+  _replay_positions(cls_ref, nodes_ref, vh_ref, acc_scr,
+                    CAP=CAP, Rc=Rc, sx=sx, sy=sy, NSEG=NSEG)
+
+
+def _replay_kernel_compact(cls_ref, cpos_ref, csh_ref, csv_ref,
+                           limd_ref, nodes_ref, vh_ref, acc_scr, *,
+                           CAP, Rc, sx, sy, NSEG, G, CROWS):
+  """Replay with per-close aggregated cancel values: instead of
+  scattering every move's +-1 through a full-width sorted key array,
+  the (position-sorted) compact close tables scatter their run sums —
+  sumH into the H plane rows [0, R) and sumV into [R, 2R) — with the
+  same windowed one-hot matmuls (f32 operands: sums exceed bf16's
+  mantissa but stay under 2^24)."""
+  C = LANES
+  R = CAP // C
+  W = CANCEL_W
+  iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
+  iota_lo = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+  acc_scr[:, :] = jnp.zeros((2 * R + 2 * CANCEL_W, C), jnp.float32)
+
+  def group(j, carry):
+    his = []
+    Blos = []
+    vh_vals = []
+    for g in range(G):
+      p = cpos_ref[0, pl.ds(j * G + g, 1), :]
+      sh = csh_ref[0, pl.ds(j * G + g, 1), :]
+      sv = csv_ref[0, pl.ds(j * G + g, 1), :]
+      valid = p < CAP
+      hi = jnp.where(valid, p >> 7, 4 * R + 4 * W)
+      lo = jnp.where(valid, p & (C - 1), C)
+      his.append(jax.lax.broadcast_in_dim(hi, (W, C), (0, 1)))
+      lob = jax.lax.broadcast_in_dim(lo, (C, C), (0, 1))
+      Blos.append(jnp.where(lob == iota_lo, jnp.float32(1),
+                            jnp.float32(0)))
+      vh_vals.append((
+        jax.lax.broadcast_in_dim(sh.astype(jnp.float32), (W, C),
+                                 (0, 1)),
+        jax.lax.broadcast_in_dim(sv.astype(jnp.float32), (W, C),
+                                 (0, 1)),
+      ))
+    bq = limd_ref[0, 0, j]
+    nsub = limd_ref[0, 1, j]
+
+    def sub(w, c2):
+      start = (bq + w) * W
+      ph = jnp.zeros((W, C), jnp.float32)
+      pv = jnp.zeros((W, C), jnp.float32)
+      for g in range(G):
+        m = jnp.where(his[g] - start == iota_w, jnp.float32(1),
+                      jnp.float32(0))
+        ph = ph + jax.lax.dot_general(
+          m * vh_vals[g][0], Blos[g], (((1,), (1,)), ((), ())),
+          preferred_element_type=jnp.float32,
+          precision=jax.lax.Precision.HIGHEST)
+        pv = pv + jax.lax.dot_general(
+          m * vh_vals[g][1], Blos[g], (((1,), (1,)), ((), ())),
+          preferred_element_type=jnp.float32,
+          precision=jax.lax.Precision.HIGHEST)
+      acc_scr[pl.ds(start, W), :] = acc_scr[pl.ds(start, W), :] + ph
+      acc_scr[pl.ds(R + start, W), :] = \
+        acc_scr[pl.ds(R + start, W), :] + pv
+      return c2
+
+    jax.lax.fori_loop(0, nsub, sub, 0)
+    return carry
+
+  jax.lax.fori_loop(0, CROWS // G, group, 0)
+  _replay_positions(cls_ref, nodes_ref, vh_ref, acc_scr,
+                    CAP=CAP, Rc=Rc, sx=sx, sy=sy, NSEG=NSEG)
+
+
+def _replay_positions(cls_ref, nodes_ref, vh_ref, acc_scr, *,
+                      CAP, Rc, sx, sy, NSEG):
+  C = LANES
+  R = CAP // C
+  NCH = R // Rc
+  sxe = sx + 1
+  HIS = 2 * NSEG * (sy + 1)
 
   def chunk(k, carr_pos):
     r0 = pl.multiple_of(k * Rc, Rc)
@@ -591,55 +873,159 @@ def replay_vcg_i32_big(packed, nbytes, nodes, n_chains, sx, sy,
       stash["outs"] = outs
       stash["sorted_keys"] = sorted_keys
 
-    tk = pl.pallas_call(
-      functools.partial(_scope_kernel, CAP=CAP, Rc=Rc, mode=mode),
-      grid=(B,),
-      in_specs=[
-        pl.BlockSpec((1, R + 1, LANES), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM)
-        for _ in range(len(sorted_keys))
-      ],
-      out_specs=pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-      out_shape=jax.ShapeDtypeStruct((B, R, LANES), jnp.int32),
-      interpret=INTERPRET,
-    )(*sorted_keys)
-
-    # sort cancel-target keys; window limits per group of G chunks
     G = _scatter_group(R)
     logw_c = int(np.log2(CANCEL_W))
-    stk = jax.lax.sort(tk.reshape(B, CAP), dimension=1,
-                       is_stable=False).reshape(B, R, LANES)
-    if stash is not None:
-      stash["tk"] = tk
-      stash["stk"] = stk
-    bq = jnp.minimum((stk[:, 0::G, 0] >> 1) >> 7, 2 * R) >> logw_c
-    lq = jnp.minimum(
-      (stk[:, G - 1::G, LANES - 1] >> 1) >> 7, 2 * R) >> logw_c
-    limc = jnp.stack([bq, lq - bq + 1], axis=1).astype(jnp.int32)
+    if CANCEL_COMPACT:
+      CROWS = _close_rows(CAP, CAP_CH)
+      CCAP = CROWS * LANES
+      # dense per-slot close records (rank dest, pos, run sums)
+      dense = pl.pallas_call(
+        functools.partial(_cancel_sums_kernel, CAP=CAP, Rc=Rc,
+                          mode=mode),
+        grid=(B,),
+        in_specs=[
+          pl.BlockSpec((1, R + 1, LANES), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+          for _ in range(len(sorted_keys))
+        ],
+        out_specs=[
+          pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+          for _ in range(4)
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, R, LANES), jnp.int32)
+                   for _ in range(4)],
+        interpret=INTERPRET,
+      )(*sorted_keys)
+      dest_d, cpos_d, sh_d, sv_d = dense
+      if stash is not None:
+        stash["dense_close"] = dense
 
-    vhidx = pl.pallas_call(
-      functools.partial(_replay_kernel_big, CAP=CAP, Rc=Rc, sx=sx,
-                        sy=sy, NSEG=NSEG, G=G),
-      grid=(B,),
-      in_specs=[
-        pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 2, R // G), lambda i: (i, 0, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, CAP_CH), lambda i: (i, 0, 0),
-                     memory_space=pltpu.SMEM),
-      ],
-      out_specs=pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-      out_shape=jax.ShapeDtypeStruct((B, R, LANES), jnp.int32),
-      scratch_shapes=[
-        pltpu.VMEM((2 * R + CANCEL_W, LANES), jnp.float32),
-      ],
-      interpret=INTERPRET,
-    )(cls, stk, limc, nodes_)
+      # compaction window limits: per-group close-count prefix
+      is_cl = (dest_d >= 0).reshape(B, R // G, G * LANES)
+      counts = jnp.sum(is_cl, axis=2, dtype=jnp.int32)
+      prefix = jnp.cumsum(counts, axis=1) - counts
+      first_d = prefix
+      last_d = jnp.maximum(prefix + counts - 1, first_d)
+      bqk = (first_d >> 7) >> logw_c
+      lqk = (last_d >> 7) >> logw_c
+      limk = jnp.stack([bqk, lqk - bqk + 1], axis=1).astype(jnp.int32)
+
+      compact = pl.pallas_call(
+        functools.partial(_compact_kernel, R=R, CROWS=CROWS, G=G),
+        grid=(B,),
+        in_specs=[
+          pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+          for _ in range(4)
+        ] + [
+          pl.BlockSpec((1, 2, R // G), lambda i: (i, 0, 0),
+                       memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+          pl.BlockSpec((1, CROWS, LANES), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+          for _ in range(3)
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, CROWS, LANES), jnp.int32)
+                   for _ in range(3)],
+        scratch_shapes=[
+          pltpu.VMEM((CROWS + CANCEL_W, LANES), jnp.float32)
+          for _ in range(3)
+        ],
+        interpret=INTERPRET,
+      )(dest_d, cpos_d, sh_d, sv_d, limk)
+      cpos_c, sh_c, sv_c = compact
+
+      # narrow sort by close position (sums ride as values)
+      cposs, shs, svs = jax.lax.sort(
+        (cpos_c.reshape(B, CCAP), sh_c.reshape(B, CCAP),
+         sv_c.reshape(B, CCAP)), dimension=1, is_stable=False,
+        num_keys=1)
+      cposs = cposs.reshape(B, CROWS, LANES)
+      shs = shs.reshape(B, CROWS, LANES)
+      svs = svs.reshape(B, CROWS, LANES)
+      if stash is not None:
+        stash["compact_sorted"] = (cposs, shs, svs)
+      G2 = _scatter_group(CROWS)
+      bq = jnp.minimum(cposs[:, 0::G2, 0] >> 7, R) >> logw_c
+      lq = jnp.minimum(
+        cposs[:, G2 - 1::G2, LANES - 1] >> 7, R) >> logw_c
+      limd = jnp.stack([bq, lq - bq + 1], axis=1).astype(jnp.int32)
+
+      vhidx = pl.pallas_call(
+        functools.partial(_replay_kernel_compact, CAP=CAP, Rc=Rc,
+                          sx=sx, sy=sy, NSEG=NSEG, G=G2, CROWS=CROWS),
+        grid=(B,),
+        in_specs=[
+          pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+        ] + [
+          pl.BlockSpec((1, CROWS, LANES), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+          for _ in range(3)
+        ] + [
+          pl.BlockSpec((1, 2, CROWS // G2), lambda i: (i, 0, 0),
+                       memory_space=pltpu.SMEM),
+          pl.BlockSpec((1, 1, CAP_CH), lambda i: (i, 0, 0),
+                       memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, R, LANES), jnp.int32),
+        scratch_shapes=[
+          pltpu.VMEM((2 * R + 2 * CANCEL_W, LANES), jnp.float32),
+        ],
+        interpret=INTERPRET,
+      )(cls, cposs, shs, svs, limd, nodes_)
+    else:
+      tk = pl.pallas_call(
+        functools.partial(_scope_kernel, CAP=CAP, Rc=Rc, mode=mode),
+        grid=(B,),
+        in_specs=[
+          pl.BlockSpec((1, R + 1, LANES), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+          for _ in range(len(sorted_keys))
+        ],
+        out_specs=pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, R, LANES), jnp.int32),
+        interpret=INTERPRET,
+      )(*sorted_keys)
+
+      # sort cancel-target keys; window limits per group of G chunks
+      stk = jax.lax.sort(tk.reshape(B, CAP), dimension=1,
+                         is_stable=False).reshape(B, R, LANES)
+      if stash is not None:
+        stash["tk"] = tk
+        stash["stk"] = stk
+      bq = jnp.minimum((stk[:, 0::G, 0] >> 1) >> 7, 2 * R) >> logw_c
+      lq = jnp.minimum(
+        (stk[:, G - 1::G, LANES - 1] >> 1) >> 7, 2 * R) >> logw_c
+      limc = jnp.stack([bq, lq - bq + 1], axis=1).astype(jnp.int32)
+
+      vhidx = pl.pallas_call(
+        functools.partial(_replay_kernel_big, CAP=CAP, Rc=Rc, sx=sx,
+                          sy=sy, NSEG=NSEG, G=G),
+        grid=(B,),
+        in_specs=[
+          pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, 2, R // G), lambda i: (i, 0, 0),
+                       memory_space=pltpu.SMEM),
+          pl.BlockSpec((1, 1, CAP_CH), lambda i: (i, 0, 0),
+                       memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, R, LANES), jnp.int32),
+        scratch_shapes=[
+          pltpu.VMEM((2 * R + CANCEL_W, LANES), jnp.float32),
+        ],
+        interpret=INTERPRET,
+      )(cls, stk, limc, nodes_)
 
     logw_p = int(np.log2(PAINT_W))
     log_lo = int(np.log2(PAINT_LO))

@@ -374,3 +374,33 @@ def test_markov_stream_device_path(monkeypatch, order):
   got = np.asarray(labels).astype(vol.dtype) \
     .reshape(6, 40, 40).transpose(2, 1, 0)
   np.testing.assert_array_equal(got, vol)
+
+
+def test_replay_big_compact_cancel_path(force_big, monkeypatch):
+  """The alternative compact-cancel path (per-close run sums +
+  compact value scatter; CRACKLE_TPU_CANCEL_COMPACT=1) must stay
+  byte-correct even though the default is the measured-faster sort
+  path."""
+  from crackle_tpu.kernels import replay_big
+  monkeypatch.setattr(replay_big, "CANCEL_COMPACT", True)
+  vol = np.zeros((65, 65, 1), dtype=np.uint32)
+  x0 = y0 = 0
+  x1 = y1 = 64
+  while x1 > x0:
+    vol[x0:x1 + 1, y0, 0] = 1
+    vol[x1, y0:y1 + 1, 0] = 1
+    vol[x0:x1 + 1, y1, 0] = 1
+    if y0 + 2 <= y1:
+      vol[x0, y0 + 2:y1 + 1, 0] = 1
+    x0 += 2; y0 += 2; x1 -= 2; y1 -= 2
+  vol = np.asfortranarray(vol)
+  binary = crackle.compress(vol)
+  out = engine.decode_window(binary, 0, 1)
+  assert out is not None
+  np.testing.assert_array_equal(out, vol)
+  for shape, nl, seed, smooth in [((33, 17, 3), 6, 34, 6),
+                                  ((16, 16, 3), 2, 33, 0)]:
+    v2 = random_volume(shape, nl, seed, smooth)
+    b2 = crackle.compress(v2)
+    out2 = engine.decode_window(b2, 0, shape[2])
+    np.testing.assert_array_equal(out2, v2)
