@@ -115,7 +115,13 @@ def _encode_stage1(planes, sx: int, sy: int, wide: bool):
   + flat num_pairs/max reductions.
 
   planes: (B, sy, sx) int32 label batch, or a (planes_lo, planes_hi)
-  tuple for 64-bit labels (x64 stays off on TPU)."""
+  tuple for 64-bit labels carried as two int32 planes (the kernels
+  never need x64 on device).
+
+  Backend-agnostic: CCL dispatches through ccl_pallas.ccl_batch, so
+  the same traced step runs the Pallas sweep kernel on TPU and the
+  XLA segmented-scan fallback on CPU meshes (e.g. the driver's
+  8-virtual-device dryrun)."""
   from . import ccl_pallas, crc32c_tpu
   if wide:
     lo, hi = planes
@@ -141,7 +147,7 @@ def _encode_stage1(planes, sx: int, sy: int, wide: bool):
          | (left.astype(jnp.uint8) << 1)
          | (down.astype(jnp.uint8) << 2)
          | (up.astype(jnp.uint8) << 3)).reshape(B, sy * sx)
-  cc, N = ccl_pallas.ccl_batch_traced(vcg, sx, sy)
+  cc, N = ccl_pallas.ccl_batch(vcg, sx, sy)
   crcs = crc32c_tpu.crc32c_device(cc.reshape(B, sy * sx))
   # flat F-order pixel pairs within the window (x-fastest; includes
   # the row/slice wrap pairs, lib.hpp pixel_pairs parity)

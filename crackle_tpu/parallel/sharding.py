@@ -10,6 +10,7 @@ This replaces the reference's shared-memory thread pool
 (threadpool.hpp) as the scaling mechanism; see SURVEY.md section 2.5.
 """
 import functools
+import logging
 from typing import Optional, Tuple
 
 import numpy as np
@@ -23,6 +24,17 @@ from .. import codec as _codec
 from ..ops import labels as _labels_ops
 from ..kernels import decode as _dec
 from ..kernels import engine as _engine
+
+
+logger = logging.getLogger("crackle_tpu.parallel")
+
+
+def _fallback(fn: str, reason: str):
+  """Every None return in this module routes through here so callers
+  (and the driver's dryrun) can tell 'unsupported stream' from
+  'broken code path' — the round-4 silent-None regression class."""
+  logger.warning("%s: falling back to host path: %s", fn, reason)
+  return None
 
 
 def make_mesh(devices=None, axis_name: str = "z") -> Mesh:
@@ -58,7 +70,8 @@ def decode_window_ccl_sharded(binary: bytes, z_start: int, z_end: int,
 
   inputs = _engine.prepare_slice_inputs(binary, z_start, z_end)
   if inputs is None:
-    return None
+    return _fallback("decode_window_ccl_sharded",
+                     "prepare_slice_inputs declined the stream")
   head = inputs["head"]
   B = z_end - z_start
   inputs, Bp = _pad_batch(inputs, B, ndev)
@@ -93,7 +106,8 @@ def sharded_decode_labels(binary: bytes, z_start: int, z_end: int,
   head = _codec.header(binary)
   inputs = _engine.prepare_slice_inputs(binary, z_start, z_end)
   if inputs is None:
-    return None
+    return _fallback("sharded_decode_labels",
+                     "prepare_slice_inputs declined the stream")
   B = z_end - z_start
   inputs, Bp = _pad_batch(inputs, B, ndev)
   permissible = head.crack_format == CrackFormat.PERMISSIBLE
@@ -139,10 +153,12 @@ def sharded_decode_labels(binary: bytes, z_start: int, z_end: int,
     return labels[:B], head
 
   if head.label_format != LabelFormat.PINS_VARIABLE_WIDTH:
-    return None
+    return _fallback("sharded_decode_labels",
+                     f"unsupported label format {head.label_format}")
   tables = _engine._pins_device_tables(head, binary, z_start, z_end)
   if tables is None:
-    return None
+    return _fallback("sharded_decode_labels",
+                     "pins table extraction declined the stream")
   pin_locs, pin_labs, single_ids, single_labs, bg32, cap_n = tables
   pad = Bp - B
 
@@ -179,7 +195,7 @@ def decompress_sharded(binary: bytes, mesh: Optional[Mesh] = None
   head = _codec.header(binary)
   res = sharded_decode_labels(binary, 0, head.sz, mesh)
   if res is None:
-    return None
+    return None  # reason already logged by sharded_decode_labels
   labels, head = res
   out = np.asarray(labels).astype(head.dtype, copy=False)
   vol = out.reshape(head.sz, head.sy, head.sx).transpose(2, 1, 0)
@@ -202,10 +218,11 @@ def voxel_counts_sharded(binary: bytes, mesh: Optional[Mesh] = None
 
   head = _codec.header(binary)
   if head.label_format != LabelFormat.FLAT:
-    return None
+    return _fallback("voxel_counts_sharded",
+                     f"label format {head.label_format} != FLAT")
   res = decode_window_ccl_sharded(binary, 0, head.sz, mesh)
   if res is None:
-    return None
+    return None  # reason already logged
   cc, N, head = res
 
   lb = bytes(_codec.raw_labels(binary))
@@ -251,18 +268,22 @@ def compress_sharded(labels: np.ndarray, mesh: Optional[Mesh] = None,
   """Multi-chip FLAT encode: z-blocks shard over the mesh; each shard
   runs the per-voxel encode stages (boundary VCG, first-visit CCL,
   per-component label tables, per-slice CRC32C) on its own device
-  under shard_map, the format-choice pair count reduces with psum,
-  and the host tail (serial DFS trace + global dictionary + byte
-  assembly, kernels/encode.assemble_flat_stream) splices the result.
-  Byte-identical to single-process codec.compress.
+  under shard_map, and the host tail (serial DFS trace + global
+  dictionary + byte assembly + the format-choice pair count over the
+  unpadded flat volume, kernels/encode.assemble_flat_stream) splices
+  the result. Byte-identical to single-process codec.compress.
+
+  Backend-agnostic: the per-voxel step runs the Pallas sweep CCL on
+  TPU and the XLA segmented-scan CCL on CPU meshes (the dispatch is
+  inside kernels/encode._encode_stage1), so the driver's virtual-CPU
+  dryrun exercises the real shard_map structure. 64-bit labels are
+  carried as (lo32, hi32) planes on device.
 
   This is the TPU-native analog of the reference's thread-pooled
   encode (crackcodes.hpp:498-521 / labels.hpp:30-155): slices are the
-  parallel axis; the only cross-shard communication is the pair-count
-  psum and the (host-side) dictionary merge, exactly the SURVEY §2.5
-  mapping."""
+  parallel axis; the only cross-shard communication is the (host-side)
+  dictionary merge, exactly the SURVEY §2.5 mapping."""
   from ..kernels import encode as _enc
-  from ..kernels import ccl_pallas
 
   if mesh is None:
     mesh = make_mesh()
@@ -270,12 +291,14 @@ def compress_sharded(labels: np.ndarray, mesh: Optional[Mesh] = None,
   ndev = mesh.devices.size
 
   labels = np.asarray(labels)
-  if labels.ndim != 3 or labels.dtype.itemsize == 8 \
-     or np.issubdtype(labels.dtype, np.signedinteger):
-    return None  # u64 planes / signed: single-device or host path
+  if labels.ndim != 3:
+    return _fallback("compress_sharded", f"ndim={labels.ndim} != 3")
+  if np.issubdtype(labels.dtype, np.signedinteger):
+    return _fallback("compress_sharded", "signed dtype")
   sx, sy, sz = labels.shape
-  if sz == 0 or not ccl_pallas.use_pallas(sx, sy):
-    return None
+  if sz == 0 or sx < 2 or sy < 2:
+    return _fallback("compress_sharded", f"degenerate shape {labels.shape}")
+  wide = labels.dtype.itemsize == 8
   f_order = bool(labels.flags.f_contiguous)
 
   zyx = np.ascontiguousarray(np.transpose(labels, (2, 1, 0)))
@@ -285,36 +308,60 @@ def compress_sharded(labels: np.ndarray, mesh: Optional[Mesh] = None,
     # every padded output is dropped before assembly, and the pair
     # count is computed over the unpadded flat volume below
     zyx = np.concatenate([zyx, np.repeat(zyx[-1:], pad, axis=0)])
-  Bp = sz + pad
-  planes = jnp.asarray(zyx.astype(np.uint32).view(np.int32))
   batch = NamedSharding(mesh, P(axis))
-  planes = jax.device_put(planes, batch)
+  if wide:
+    z64 = zyx.astype(np.uint64)
+    planes = (
+      jax.device_put(
+        jnp.asarray((z64 & 0xffffffff).astype(np.uint32)
+                    .view(np.int32)), batch),
+      jax.device_put(
+        jnp.asarray((z64 >> 32).astype(np.uint32).view(np.int32)),
+        batch),
+    )
+  else:
+    planes = jax.device_put(
+      jnp.asarray(zyx.astype(np.uint32).view(np.int32)), batch)
 
   def step(pl_):
     vcg, cc, N, crcs, _pairs = _enc._encode_stage1.__wrapped__(
-      pl_, sx, sy, False)
+      pl_, sx, sy, wide)
     return vcg, cc, N, crcs
 
+  in_spec = (P(axis), P(axis)) if wide else P(axis)
   fn = jax.jit(jax.shard_map(
-    step, mesh=mesh, in_specs=(P(axis),),
+    step, mesh=mesh, in_specs=(in_spec,),
     out_specs=(P(axis), P(axis), P(axis), P(axis)),
     check_vma=False,
   ))
   vcg_d, cc_d, N_d, crcs_d = fn(planes)
   N = np.asarray(N_d)[:sz]
-  tables = np.asarray(_enc.component_labels(
-    planes, cc_d, np.asarray(N_d), sx, sy
-  ))[:sz].view(np.uint32).astype(np.uint64)
+  if wide:
+    t_lo = _enc.component_labels(planes[0], cc_d, np.asarray(N_d),
+                                 sx, sy)
+    t_hi = _enc.component_labels(planes[1], cc_d, np.asarray(N_d),
+                                 sx, sy)
+    tables = (np.asarray(t_lo)[:sz].view(np.uint32).astype(np.uint64)
+              | (np.asarray(t_hi)[:sz].view(np.uint32)
+                 .astype(np.uint64) << 32))
+  else:
+    tables = np.asarray(_enc.component_labels(
+      planes, cc_d, np.asarray(N_d), sx, sy
+    ))[:sz].view(np.uint32).astype(np.uint64)
   vcg = np.asarray(vcg_d)[:sz]
   crcs = np.asarray(crcs_d)[:sz].astype(np.uint32)
 
   flat = zyx[:sz].reshape(-1)
   num_pairs = int(np.count_nonzero(flat[1:] == flat[:-1]))
 
-  return _enc.assemble_flat_stream(
+  out = _enc.assemble_flat_stream(
     vcg, tables, N, crcs, num_pairs, sx, sy, sz,
     data_width=labels.dtype.itemsize, fortran_order=f_order,
     parallel=parallel)
+  if out is None:
+    return _fallback("compress_sharded",
+                     "native trace unavailable for a slice")
+  return out
 
 
 def sharded_roundtrip_step(mesh: Mesh, sx: int, sy: int,

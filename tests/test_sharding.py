@@ -112,22 +112,40 @@ def test_decompress_sharded_formats():
     np.testing.assert_array_equal(out, crackle.decompress(binary))
 
 
-def test_compress_sharded_byte_identity(monkeypatch):
+def test_compress_sharded_byte_identity():
   """Multi-chip encode: per-voxel stages shard over the mesh; the
-  assembled stream must be byte-identical to single-process
-  compress."""
-  from crackle_tpu.kernels import ccl_pallas
+  assembled stream must be byte-identical to single-process compress.
+
+  Deliberately NOT monkeypatching Pallas interpret mode: on the CPU
+  mesh the step must route through the XLA CCL fallback on its own,
+  exactly as in the driver's dryrun (the round-4 regression was this
+  path silently returning None)."""
   from crackle_tpu.parallel import sharding
-  monkeypatch.setattr(ccl_pallas, "INTERPRET", True)
-  jax.clear_caches()
-  for shape, nl, seed, smooth in [
-      ((24, 24, 16), 8, 61, 4),    # z divisible by 8
-      ((20, 18, 11), 6, 62, 3),    # ragged z -> padded shard
-      ((16, 16, 3), 2, 63, 0),     # noisy -> impermissible
+  for shape, nl, seed, smooth, dtype in [
+      ((24, 24, 16), 8, 61, 4, np.uint32),   # z divisible by 8
+      ((20, 18, 11), 6, 62, 3, np.uint32),   # ragged z -> padded shard
+      ((16, 16, 3), 2, 63, 0, np.uint32),    # noisy -> impermissible
+      ((16, 16, 8), 5, 64, 4, np.uint64),    # u64 (lo/hi planes)
   ]:
-    vol = random_volume(shape, nl, seed, smooth)
+    vol = random_volume(shape, nl, seed, smooth, dtype=dtype)
+    if dtype == np.uint64:
+      vol = vol + np.uint64(2) ** 40
     want = crackle.compress(vol)
     got = sharding.compress_sharded(vol, parallel.make_mesh())
     assert got is not None
     assert got == want, f"shape {shape}: sharded encode bytes differ"
-  jax.clear_caches()
+
+
+def test_dryrun_multichip_as_driver():
+  """Run the driver's multichip dryrun exactly as the driver does:
+  import __graft_entry__ and call dryrun_multichip(8) on the virtual
+  8-device CPU mesh, with no test-only monkeypatching. Round 4
+  shipped MULTICHIP ok:false because CI never did this."""
+  import sys, os
+  sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+  try:
+    import __graft_entry__ as graft
+    graft.dryrun_multichip(8)
+  finally:
+    sys.path.pop(0)
