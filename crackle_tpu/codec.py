@@ -736,7 +736,11 @@ def compress(labels: np.ndarray, allow_pins: int = 0,
     if out is not None:
       return out
   if is_device_arr:
-    labels = np.asarray(labels)
+    # the device-encode path writes fortran_order=True for device
+    # arrays; keep the same convention when the host path handles one
+    # (u64 / pins / markov>0 / non-TPU backend) so identical logical
+    # input yields identical header flags and memory order
+    labels = np.asfortranarray(np.asarray(labels))
 
   while labels.ndim < 3:
     labels = labels[..., np.newaxis]

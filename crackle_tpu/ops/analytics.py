@@ -388,6 +388,10 @@ def point_cloud(binary: bytes, label=None, parallel: int = 0,
       if selective:
         keep = np.isin(lbls, np.asarray(sorted(label_set),
                                         dtype=lbls.dtype))
+        if skip_background:
+          # the background skip applies even with an explicit label
+          # list (operations.hpp:236 applies it unconditionally)
+          keep &= lbls != 0
       else:
         keep = lbls != 0
       bidx, lbls = bidx[keep], lbls[keep]
@@ -611,25 +615,36 @@ def mode_pooling_2x2x1(binary: bytes, parallel: int = 0) -> List[bytes]:
   returns per-slice binaries for zstack
   (operations.hpp:1201-1352 parity).
 
-  One full decode (threaded native decoder), then per-slice pooled
-  recompression on a thread pool — the encoder's hot path is native
-  code that releases the GIL, matching the reference's
-  for_each_z_parallel template (operations.hpp:89-182)."""
+  Decodes in bounded z-windows (peak host memory stays O(window),
+  not O(volume)), then per-slice pooled recompression on a thread
+  pool — the encoder's hot path is native code that releases the GIL,
+  matching the reference's for_each_z_parallel template
+  (operations.hpp:89-182)."""
   import concurrent.futures as _fut
   head = codec.header(binary)
-  vol = codec.decompress(binary, parallel=parallel)
-
-  def pool_one(z: int) -> bytes:
-    a = np.asfortranarray(vol[:, :, z])
-    pooled = _mode_2x2(a.T).T  # operate in (sy, sx) then back
-    return codec.compress(np.asfortranarray(pooled[:, :, np.newaxis]))
-
   n_workers = parallel if parallel > 0 else (os.cpu_count() or 1)
   n_workers = _min(_max(n_workers, 1), _max(head.sz, 1))
-  if n_workers == 1 or head.sz <= 1:
-    return [pool_one(z) for z in range(head.sz)]
-  with _fut.ThreadPoolExecutor(n_workers) as ex:
-    return list(ex.map(pool_one, range(head.sz)))
+
+  # window sized to ~64 MB of decoded voxels (min one slice)
+  slice_bytes = max(head.sx * head.sy * head.data_width, 1)
+  window = _min(_max(int(64e6) // slice_bytes, 1), max(head.sz, 1))
+
+  out: List[bytes] = []
+  for z0 in range(0, head.sz, window):
+    z1 = _min(z0 + window, head.sz)
+    vol = codec.decompress_range(binary, z0, z1, parallel=parallel)
+
+    def pool_one(z: int) -> bytes:
+      a = np.asfortranarray(vol[:, :, z - z0])
+      pooled = _mode_2x2(a.T).T  # operate in (sy, sx) then back
+      return codec.compress(np.asfortranarray(pooled[:, :, np.newaxis]))
+
+    if n_workers == 1 or z1 - z0 <= 1:
+      out.extend(pool_one(z) for z in range(z0, z1))
+    else:
+      with _fut.ThreadPoolExecutor(n_workers) as ex:
+        out.extend(ex.map(pool_one, range(z0, z1)))
+  return out
 
 
 def connected_components_3d(binary: bytes, connectivity: int = 26,

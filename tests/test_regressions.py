@@ -122,3 +122,27 @@ def test_num_labels_minimal_read(tmp_path):
   assert load_num_labels(p) == len(np.unique(arr))
   head = load_header(p)
   assert (head.sx, head.sy, head.sz) == (8, 8, 4)
+
+
+def test_point_cloud_label0_skips_background():
+  """skip_background (default True) applies even with an explicit
+  label list (operations.hpp:236 applies it unconditionally)."""
+  vol = np.asfortranarray(
+    np.random.RandomState(3).randint(0, 4, (16, 16, 4)).astype(np.uint32))
+  binary = crackle.compress(vol)
+  assert len(crackle.point_cloud(binary, label=0)) == 0
+  assert len(crackle.point_cloud(binary, label=0,
+                                 skip_background=False)) > 0
+
+
+def test_device_array_host_fallback_keeps_forder():
+  """A jax-array input that falls back to the host encode path must
+  carry the same fortran_order=True convention as the device path."""
+  import jax.numpy as jnp
+  vol = np.asfortranarray(
+    np.random.RandomState(4).randint(0, 6, (12, 12, 4)).astype(np.uint32))
+  b = crackle.compress(jnp.asarray(vol))
+  assert crackle.header(b).fortran_order
+  out = crackle.decompress(b)
+  assert out.flags.f_contiguous
+  np.testing.assert_array_equal(out, vol)
