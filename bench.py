@@ -35,18 +35,42 @@ import numpy as np
 BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "bench_data")
 SHAPE = (256, 256, 128)
-N_SEEDS = 1200
 SHAPE512 = (512, 512, 512)
 BASELINE_DECODE_MVX = 545.6  # reference 1-thread M3, 512^3 connectomics
 
+# Two-scale seed densities calibrated so a 256x256x64 cutout
+# compresses to ~0.565% flat / 0.544% pins / 0.403% markov-5 —
+# matching the published connectomics.npy profile (0.56% / 0.51% /
+# 0.45%, benchmarks/README.md:10-14) with realistic per-slice
+# component counts. Densities are per 4.19M voxels
+# (= 256*256*64) and scale linearly with volume.
+_SPARSE_PER_4M = 16     # large cells (the neurite/soma backbone)
+_PATCHES_PER_4M = 2     # dense patches of small fragments
+_PER_PATCH = 40
+_PATCH_SIGMA = 10.0
+_ANISO_Z = 0.35         # cells elongated along z like neurites
 
-def synthetic_connectomics(shape, n_seeds, seed=42):
-  """Anisotropic Voronoi labeling: a stand-in for dense neuron
-  segmentation (elongated, space-filling regions)."""
+
+def synthetic_connectomics(shape, seed=42):
+  """Two-scale anisotropic Voronoi labeling: a sparse backbone of
+  large z-elongated cells plus dense patches of small fragments,
+  giving the long-tailed component-size mix of real connectomics
+  auto-segmentation. Calibrated to the published compression profile
+  (see constants above)."""
   rng = np.random.RandomState(seed)
   sx, sy, sz = shape
-  pts = rng.rand(n_seeds, 3) * np.array([sx, sy, sz])
-  aniso = np.array([1.0, 1.0, 0.35])
+  dims = np.array([sx, sy, sz], float)
+  scale = (sx * sy * sz) / (256 * 256 * 64)
+  n_sparse = max(int(round(_SPARSE_PER_4M * scale)), 2)
+  n_patches = max(int(round(_PATCHES_PER_4M * scale)), 1)
+  pts = [rng.rand(n_sparse, 3) * dims]
+  centers = rng.rand(n_patches, 3) * dims
+  for c in centers:
+    p = c + rng.randn(_PER_PATCH, 3) * _PATCH_SIGMA \
+        * np.array([1.0, 1.0, 1.0 / _ANISO_Z])
+    pts.append(p)
+  pts = np.clip(np.concatenate(pts), 0, dims - 1)
+  aniso = np.array([1.0, 1.0, _ANISO_Z])
   from scipy.spatial import cKDTree
   tree = cKDTree(pts * aniso)
   xs, ys, zs = np.meshgrid(
@@ -62,15 +86,16 @@ def synthetic_connectomics(shape, n_seeds, seed=42):
 def get_binary():
   os.makedirs(BENCH_DIR, exist_ok=True)
   path = os.path.join(
-    BENCH_DIR, f"connectomics_proxy_{SHAPE[0]}x{SHAPE[1]}x{SHAPE[2]}.ckl"
+    BENCH_DIR,
+    f"connectomics_v2_{SHAPE[0]}x{SHAPE[1]}x{SHAPE[2]}.ckl"
   )
-  vol_path = path + ".npy"
+  vol_path = path + ".npz"
   import crackle_tpu as crackle
   if os.path.exists(path) and os.path.exists(vol_path):
     with open(path, 'rb') as f:
-      return f.read(), np.load(vol_path)
+      return f.read(), np.asfortranarray(np.load(vol_path)["vol"])
   print("generating synthetic connectomics volume...", file=sys.stderr)
-  vol = synthetic_connectomics(SHAPE, N_SEEDS)
+  vol = synthetic_connectomics(SHAPE)
   print("compressing (host encoder)...", file=sys.stderr)
   t0 = time.time()
   binary = crackle.compress(vol)
@@ -78,7 +103,7 @@ def get_binary():
         f"ratio {len(binary) / vol.nbytes:.4%}", file=sys.stderr)
   with open(path, 'wb') as f:
     f.write(binary)
-  np.save(vol_path, vol)
+  np.savez_compressed(vol_path, vol=vol)
   return binary, vol
 
 
@@ -100,7 +125,7 @@ def _fence(name, fn, *args, **kwargs):
 
 
 def _bench_512(crackle, engine, jnp):
-  path = os.path.join(BENCH_DIR, "connectomics_proxy_512x512x512.ckl")
+  path = os.path.join(BENCH_DIR, "connectomics_v2_512x512x512.ckl")
   if not os.path.exists(path):
     print("512^3 stream missing; run scripts/gen_bench_volumes.py",
           file=sys.stderr)
@@ -171,6 +196,108 @@ def _bench_noise(crackle, engine):
   print(f"noise 512^2x16 decode (device ccl): "
         f"{best * 1e3:.1f} ms = {voxels / best / 1e6:.1f} MVx/s",
         file=sys.stderr)
+
+
+def _bench_encode_device(crackle, jnp, vol, voxels):
+  """Device encode: per-voxel stages (VCG, CCL, tables, CRC32C) on
+  the TPU from a device-resident volume; host tail = DFS trace +
+  assembly (kernels/encode.encode_flat_device). Reference bar:
+  246.3 MVx/s single-thread M3 (benchmarks/README.md:255)."""
+  dev_vol = jnp.asarray(np.ascontiguousarray(vol))
+  _sync(jnp.max(dev_vol))
+  enc = crackle.compress(dev_vol)  # warm + compile
+  want = crackle.compress(vol)
+  ok = enc == want
+  best = None
+  for _ in range(3):
+    t0 = time.perf_counter()
+    enc = crackle.compress(dev_vol)
+    dt = time.perf_counter() - t0
+    best = dt if best is None else min(best, dt)
+  mvx = voxels / best / 1e6
+  print(f"encode(device stages + host trace): {best * 1e3:.0f} ms "
+        f"{mvx:.1f} MVx/s; bytes match host: {ok}", file=sys.stderr)
+  return mvx if ok else None
+
+
+def _bench_stage1(jnp, vol, voxels):
+  """Pure device throughput of the encode per-voxel stages (no
+  transfers, no host tail) — the kernel-speed ceiling."""
+  from crackle_tpu.kernels import encode as enc_k
+  sx, sy, sz = vol.shape
+  zyx = np.ascontiguousarray(np.transpose(vol, (2, 1, 0)))
+  planes = jnp.asarray(zyx.astype(np.uint32).view(np.int32))
+  outs = enc_k._encode_stage1(planes, sx, sy, False)  # warm
+  _sync(outs[4])
+  best = None
+  for _ in range(3):
+    t0 = time.perf_counter()
+    outs = enc_k._encode_stage1(planes, sx, sy, False)
+    _sync(outs[4])
+    dt = time.perf_counter() - t0
+    best = dt if best is None else min(best, dt)
+  mvx = voxels / best / 1e6
+  print(f"encode stage1 (device only): {best * 1e3:.1f} ms "
+        f"{mvx:.1f} MVx/s", file=sys.stderr)
+  return mvx
+
+
+def _bench_markov(crackle, engine, jnp):
+  """Markov-5 stream through DeviceStream (host rank-decode happens
+  once at upload; steady-state serving is all-device). Reference
+  decompress bar: 174 MVx/s 1-thread (benchmarks/README.md:157)."""
+  path = os.path.join(BENCH_DIR, "connectomics_v2_mkv5_256x256x128.ckl")
+  if not os.path.exists(path):
+    return None
+  binary = open(path, "rb").read()
+  voxels = SHAPE[0] * SHAPE[1] * SHAPE[2]
+  sz = SHAPE[2]
+  stream = engine.upload_stream(binary)
+  if stream is None:
+    print("markov: upload_stream declined", file=sys.stderr)
+    return None
+  labels, cc, N = stream.decode_window(0, sz, check_crcs=True)
+  _sync(jnp.max(labels))
+  best = None
+  for _ in range(3):
+    t0 = time.perf_counter()
+    outs = []
+    for _i in range(4):
+      labels, cc, N = stream.decode_window(0, sz)
+      outs.append(jnp.max(labels))
+    _sync(jnp.stack(outs))
+    dt = (time.perf_counter() - t0) / 4
+    best = dt if best is None else min(best, dt)
+  mvx = voxels / best / 1e6
+  print(f"markov-5 decode steady-state (DeviceStream): "
+        f"{best * 1e3:.1f} ms/window {mvx:.1f} MVx/s", file=sys.stderr)
+  return mvx
+
+
+def _bench_pins(crackle, engine, jnp):
+  """Pins stream through the fused device decode (per-window h2d of
+  the parsed sections + all-device paint)."""
+  path = os.path.join(BENCH_DIR, "connectomics_v2_pins_256x256x128.ckl")
+  if not os.path.exists(path):
+    return None
+  binary = open(path, "rb").read()
+  voxels = SHAPE[0] * SHAPE[1] * SHAPE[2]
+  sz = SHAPE[2]
+  res = engine.decode_window_device(binary, 0, sz)  # warm + compile
+  if res is None:
+    print("pins: decode_window_device declined", file=sys.stderr)
+    return None
+  best = None
+  for _ in range(3):
+    t0 = time.perf_counter()
+    labels, cc, N, head = engine.decode_window_device(binary, 0, sz)
+    _sync(jnp.max(labels))
+    dt = time.perf_counter() - t0
+    best = dt if best is None else min(best, dt)
+  mvx = voxels / best / 1e6
+  print(f"pins decode steady-state (device, incl. per-window h2d): "
+        f"{best * 1e3:.1f} ms/window {mvx:.1f} MVx/s", file=sys.stderr)
+  return mvx
 
 
 def _bench_encode(crackle, vol, voxels):
@@ -252,6 +379,12 @@ def main():
   host_ok = bool(_fence("host-decode", host_decode))
   correct = correct256 and host_ok
 
+  enc_dev_mvx = _fence("encode-device", _bench_encode_device,
+                       crackle, jnp, vol, voxels)
+  stage1_mvx = _fence("encode-stage1", _bench_stage1, jnp, vol, voxels)
+  mkv_mvx = _fence("markov-device", _bench_markov, crackle, engine, jnp)
+  pins_mvx = _fence("pins-device", _bench_pins, crackle, engine, jnp)
+
   # primary: the canonical 512^3 volume (per-slice CCL crc32c checked
   # on device during the cold pass)
   mvx = _fence("512-device", _bench_512, crackle, engine, jnp)
@@ -265,10 +398,14 @@ def main():
                    if (mvx and correct) else 0.0,
     "correct": correct,
   }
-  if encode_mvx:
-    out["encode_mvx"] = round(encode_mvx, 1)
-  if mvx256:
-    out["decode_256_mvx"] = round(mvx256, 1)
+  for key, v in (("encode_mvx", encode_mvx),
+                 ("encode_device_mvx", enc_dev_mvx),
+                 ("encode_stage1_mvx", stage1_mvx),
+                 ("markov_decode_mvx", mkv_mvx),
+                 ("pins_decode_mvx", pins_mvx),
+                 ("decode_256_mvx", mvx256)):
+    if v:
+      out[key] = round(v, 1)
   print(json.dumps(out))
 
 

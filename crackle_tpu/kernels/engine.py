@@ -2,6 +2,7 @@
 pads per-slice crack streams into fixed-shape device arrays (bucketed
 to limit recompiles), launches the batched kernels, and assembles the
 output volume."""
+import logging
 import os as _os
 from typing import Optional, Tuple
 
@@ -15,6 +16,16 @@ from ..ops import crackcode as _cc
 from ..ops import labels as _labels_ops
 from .. import codec as _codec
 from . import decode as _dec
+
+
+logger = logging.getLogger("crackle_tpu.engine")
+
+
+def _fallback(fn: str, reason: str):
+  """Every None return in this module routes through here so callers
+  can tell 'unsupported stream' from 'broken code path'."""
+  logger.warning("%s: falling back to host path: %s", fn, reason)
+  return None
 
 
 def _next_pow2(x: int) -> int:
@@ -121,7 +132,9 @@ def decode_window_ccl_device(binary: bytes, z_start: int, z_end: int):
   the batched input for device analytics (kernels/stats_pallas.py)."""
   inputs = prepare_slice_inputs(binary, z_start, z_end)
   if inputs is None or not _device_cap_ok(inputs):
-    return None
+    return _fallback("decode_window_ccl_device",
+                     "stream exceeds MAX_DEVICE_CAP"
+                     if inputs is not None else "prepare declined")
   head = inputs["head"]
   permissible = head.crack_format == CrackFormat.PERMISSIBLE
   cc, N = _dec.decode_slices_to_ccl(
@@ -262,10 +275,12 @@ def decode_window_device(binary: bytes, z_start: int, z_end: int):
   if head.label_format == LabelFormat.PINS_VARIABLE_WIDTH:
     tables = _pins_device_tables(head, binary, z_start, z_end)
     if tables is None:
-      return None
+      return _fallback("decode_window_device",
+                       "pins tables unavailable for this stream")
     inputs = prepare_slice_inputs(binary, z_start, z_end)
     if inputs is None or not _device_cap_ok(inputs):
-      return None
+      return _fallback("decode_window_device",
+                       "stream exceeds MAX_DEVICE_CAP")
     pin_locs, pin_labs, single_ids, single_labs, bg32, cap_n = tables
     permissible = head.crack_format == CrackFormat.PERMISSIBLE
     labels, cc, N = _dec.decode_slices_full_pins(
@@ -278,10 +293,12 @@ def decode_window_device(binary: bytes, z_start: int, z_end: int):
     )
     return labels, cc, N, head
   if head.label_format != LabelFormat.FLAT:
-    return None
+    return _fallback("decode_window_device",
+                     f"unsupported label format {head.label_format}")
   inputs = prepare_slice_inputs(binary, z_start, z_end)
   if inputs is None or not _device_cap_ok(inputs):
-    return None
+    return _fallback("decode_window_device",
+                     "stream exceeds MAX_DEVICE_CAP")
   uniq, cum, keys = _flat_label_tables(head, binary)
   wide = uniq.dtype.itemsize > 4
   permissible = head.crack_format == CrackFormat.PERMISSIBLE
@@ -312,7 +329,8 @@ def decode_window_device(binary: bytes, z_start: int, z_end: int):
     )
     return labels, cc, N, head
   if wide:
-    return None  # u64 labels without the plant kernel: host paint
+    return _fallback("decode_window_device",
+                     "u64 labels without the plant kernel")
 
   labels, cc, N = _dec.decode_slices_full(
     jnp.asarray(inputs["packed"]), jnp.asarray(inputs["nbytes"]),
@@ -397,18 +415,22 @@ def upload_stream(binary: bytes) -> Optional[DeviceStream]:
   Returns None when the stream needs a fallback decode path."""
   head = _codec.header(binary)
   if head.label_format != LabelFormat.FLAT:
-    return None
+    return _fallback("upload_stream",
+                     f"label format {head.label_format} != FLAT")
   from . import ccl_pallas
   inputs = prepare_slice_inputs(binary, 0, head.sz)
   if inputs is None or not _device_cap_ok(inputs):
-    return None
+    return _fallback("upload_stream", "stream exceeds MAX_DEVICE_CAP")
   uniq, cum, keys = _flat_label_tables(head, binary)
   n_per_slice = cum[1:head.sz + 1] - cum[0:head.sz]
   max_n = int(n_per_slice.max()) if len(n_per_slice) else 1
   cap_n = _next_pow2(max(max_n, 8))
   if not (ccl_pallas.use_pallas(head.sx, head.sy)
           and cap_n <= ccl_pallas.PAINT_CAP_N):
-    return None
+    return _fallback(
+      "upload_stream",
+      f"plant-paint ineligible (use_pallas="
+      f"{ccl_pallas.use_pallas(head.sx, head.sy)}, cap_n={cap_n})")
   wide = uniq.dtype.itemsize > 4
   t64 = uniq.astype(np.uint64)[keys.astype(np.int64)]
   idx = (cum[0:head.sz, None]

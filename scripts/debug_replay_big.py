@@ -21,7 +21,7 @@ from crackle_tpu.headers import CrackFormat
 from crackle_tpu.kernels import engine, replay_big, ccl_pallas
 
 BENCH = os.path.join(os.path.dirname(__file__), "..", "bench_data",
-                     "connectomics_proxy_512x512x512.ckl")
+                     "connectomics_v2_512x512x512.ckl")
 
 
 def run(stash_interpret, zs):

@@ -22,11 +22,12 @@ def main():
   os.makedirs(BENCH_DIR, exist_ok=True)
 
   # canonical 512^3 (the reference's headline benchmark shape,
-  # benchmarks/README.md:243-282)
-  path = os.path.join(BENCH_DIR, "connectomics_proxy_512x512x512.ckl")
+  # benchmarks/README.md:243-282), v2 generator calibrated to the
+  # published ~0.56% connectomics compression profile
+  path = os.path.join(BENCH_DIR, "connectomics_v2_512x512x512.ckl")
   if not os.path.exists(path):
     t0 = time.time()
-    vol = synthetic_connectomics((512, 512, 512), 9600)
+    vol = synthetic_connectomics((512, 512, 512))
     print(f"512^3 gen: {time.time() - t0:.0f}s", flush=True)
     t0 = time.time()
     binary = crackle.compress(vol)
@@ -34,6 +35,25 @@ def main():
           f"ratio {len(binary) / vol.nbytes:.4%}", flush=True)
     with open(path, "wb") as f:
       f.write(binary)
+    del vol
+
+  # pins / markov-5 variants of the committed 256^2x128 volume (the
+  # device-serving bench sections for the non-flat format paths)
+  vp = os.path.join(BENCH_DIR, "connectomics_v2_256x256x128.ckl.npz")
+  if os.path.exists(vp):
+    vol = np.asfortranarray(np.load(vp)["vol"])
+    for name, kwargs in [
+        ("connectomics_v2_pins_256x256x128.ckl", dict(allow_pins=1)),
+        ("connectomics_v2_mkv5_256x256x128.ckl",
+         dict(markov_model_order=5)),
+    ]:
+      p = os.path.join(BENCH_DIR, name)
+      if not os.path.exists(p):
+        binary = crackle.compress(vol, **kwargs)
+        print(f"{name}: ratio {len(binary) / vol.nbytes:.4%}",
+              flush=True)
+        with open(p, "wb") as f:
+          f.write(binary)
     del vol
 
   # pathological binary noise (reference per-pattern table,

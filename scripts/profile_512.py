@@ -46,7 +46,7 @@ def sync(out):
 
 def main():
   path = sys.argv[1] if len(sys.argv) > 1 else \
-    '/root/repo/bench_data/connectomics_proxy_512x512x512.ckl'
+    '/root/repo/bench_data/connectomics_v2_512x512x512.ckl'
   z1 = int(sys.argv[2]) if len(sys.argv) > 2 else None
   binary = open(path, 'rb').read()
   head = codec.header(binary)

@@ -22,7 +22,7 @@ from crackle_tpu.lib import crc32c
 
 BENCH_512 = os.path.join(
   os.path.dirname(__file__), "..", "bench_data",
-  "connectomics_proxy_512x512x512.ckl")
+  "connectomics_v2_512x512x512.ckl")
 
 
 def random_volume(shape, num_labels, seed, smooth=0, dtype=np.uint32):
