@@ -266,6 +266,263 @@ def _ccl_paint_kernel(vcg_ref, t_ref, cc_ref, painted_ref, *, sx, sy,
       painted_ref[0, ch, y0:y1, :] = accs[ch]
 
 
+# ---------------------------------------------------------------------------
+# v2 CCL: converge-only kernel + XLA root extraction + plant kernel
+#
+# The renumber-by-re-propagation of _ccl_core (plant first-visit ranks
+# at roots, run n_sweeps-1 more sweeps) is 40-50% of the CCL budget on
+# the 512^3 corpus. The v2 path stops after convergence: kernel A
+# emits the min-index image L; roots (sorted component min indices =
+# first-visit order) come from one XLA top_k over the root mask; and
+# kernel B produces the dense cc numbering AND the painted labels in
+# the same windowed stripe loop the old paint kernel already ran —
+# eq = (L == roots[k]) instead of (rank == k), at one extra select.
+# Net: the second sweep loop disappears entirely.
+# ---------------------------------------------------------------------------
+
+def _ccl_min_kernel(vcg_ref, l_ref, tgt_ref, *, sx, sy):
+  """Kernel A: converge the segmented-min sweeps; emit the min-index
+  image L (component id = min flat raster index) plus the scatter
+  targets tgt = first-visit rank at roots / -1 elsewhere (the 2D
+  raster prefix count, cc3d.hpp relabel parity). The rank->index
+  scatter itself rides the MXU outside the kernel
+  (roots_from_L)."""
+  v = vcg_ref[0].astype(jnp.int32)
+  yy = jax.lax.broadcasted_iota(jnp.int32, (sy, sx), 0)
+  xx = jax.lax.broadcasted_iota(jnp.int32, (sy, sx), 1)
+
+  one = jnp.ones((sy, sx), jnp.int32)
+  zero = jnp.zeros((sy, sx), jnp.int32)
+  left_ok = jnp.where(((v & 0b0010) > 0) & (xx > 0), one, zero)
+  up_ok = jnp.where(((v & 0b1000) > 0) & (yy > 0), one, zero)
+
+  FBxf = _pack_flags(1 - left_ok, 1, up=False)
+  FBxb = _pack_flags(1 - _roll_up(left_ok, 1, 1, 0), 1, up=True)
+  FByf = _pack_flags(1 - up_ok, 0, up=False)
+  FByb = _pack_flags(1 - _roll_up(up_ok, 1, 0, 0), 0, up=True)
+
+  def sweep(L):
+    L = _seg_min_fwd_p(L, FBxf, 1)
+    L = _seg_min_bwd_p(L, FBxb, 1)
+    L = _seg_min_fwd_p(L, FByf, 0)
+    L = _seg_min_bwd_p(L, FByb, 0)
+    return L
+
+  L0 = yy * sx + xx
+
+  def cond(state):
+    _L, changed = state
+    return changed > 0
+
+  def body(state):
+    L, _ = state
+    L2 = sweep(L)
+    return L2, _changed(L2, L)
+
+  L1 = sweep(L0)
+  L, _ = jax.lax.while_loop(cond, body, (L1, _changed(L1, L0)))
+  l_ref[0] = L
+
+  # first-visit rank of each root via a raster-order 2D prefix sum
+  is_root = (L == L0)
+  row_cum = is_root.astype(jnp.int32)
+  s = 1
+  while s < sx:
+    row_cum = row_cum + _roll_down(row_cum, s, 1, 0)
+    s *= 2
+  row_tot = jax.lax.broadcast_in_dim(
+    row_cum[:, sx - 1], (sy, sx), (0,)
+  )
+  row_off = row_tot
+  s = 1
+  while s < sy:
+    row_off = row_off + _roll_down(row_off, s, 0, 0)
+    s *= 2
+  rank = row_cum + (row_off - row_tot) - 1
+  tgt_ref[0] = jnp.where(is_root, rank, jnp.full_like(rank, -1))
+
+
+def _plant_kernel(l_ref, roots_ref, t_ref, cc_ref, *refs, sx, sy,
+                  cap_n, channels, BLK=64, UNROLL=4):
+  """Kernel B: min-index image + sorted roots (+ value tables) ->
+  dense first-visit cc numbering (+ painted labels).
+
+  Ranks are first-visit (raster) ordered, so the components present
+  in a horizontal stripe form a contiguous rank window; the window
+  bounds come from an in-kernel binary search of the stripe's
+  min/max component id over the sorted SMEM roots table."""
+  painted_refs = refs
+  for y0 in range(0, sy, BLK):
+    y1 = min(y0 + BLK, sy)
+    Lb = l_ref[0, y0:y1]
+    lmin = jnp.maximum(jnp.min(Lb), 0)
+    lmax = jnp.minimum(jnp.max(Lb), sx * sy - 1)
+
+    # branchless lower_bound over the sorted roots (pad = sx*sy is
+    # greater than any valid component id)
+    def lower_bound(target):
+      pos = jnp.int32(0)
+      step = cap_n // 2
+      while step >= 1:
+        v = roots_ref[0, 0, pos + step - 1]
+        pos = jnp.where(v < target, pos + step, pos)
+        step //= 2
+      return pos
+
+    klo = lower_bound(lmin)
+    khi = jnp.minimum(lower_bound(lmax), cap_n - 1)
+    n_iter = jnp.maximum(khi - klo, 0) // UNROLL + 1
+
+    def plant_body(i, accs, Lb=Lb, klo=klo):
+      k0 = klo + i * UNROLL
+      for u in range(UNROLL):
+        k = jnp.minimum(k0 + u, cap_n - 1)
+        eq = Lb == roots_ref[0, 0, k]
+        cc_acc = jnp.where(eq, jnp.full_like(accs[0], k), accs[0])
+        pacc = tuple(
+          jnp.where(eq, jnp.full_like(a, t_ref[0, ch, k]), a)
+          for ch, a in enumerate(accs[1:])
+        ) if channels else ()
+        accs = (cc_acc,) + pacc
+      return accs
+
+    accs = jax.lax.fori_loop(
+      0, n_iter, plant_body,
+      (jnp.zeros((y1 - y0, sx), jnp.int32),)
+      + tuple(jnp.zeros((y1 - y0, sx), jnp.int32)
+              for _ in range(channels)),
+    )
+    cc_ref[0, y0:y1, :] = accs[0]
+    for ch in range(channels):
+      painted_refs[ch][0, 0, y0:y1, :] = accs[1 + ch]
+
+
+def ccl_min_traced(vcg, sx: int, sy: int):
+  """Trace-time kernel A entry: vcg (B, sy*sx) ->
+  (L (B, sy, sx), tgt (B, sy, sx) rank-at-roots / -1)."""
+  B = vcg.shape[0]
+  v2 = vcg.reshape(B, sy, sx)
+  kernel = functools.partial(_ccl_min_kernel, sx=sx, sy=sy)
+  with jax.enable_x64(False):
+    L, tgt = pl.pallas_call(
+      kernel,
+      grid=(B,),
+      in_specs=[
+        pl.BlockSpec((1, sy, sx), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+      ],
+      out_specs=[
+        pl.BlockSpec((1, sy, sx), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, sy, sx), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+      ],
+      out_shape=[
+        jax.ShapeDtypeStruct((B, sy, sx), jnp.int32),
+        jax.ShapeDtypeStruct((B, sy, sx), jnp.int32),
+      ],
+      compiler_params=_compiler_params(sx, sy),
+      interpret=INTERPRET,
+    )(v2)
+  return L, tgt
+
+
+def roots_from_tgt(tgt, cap_n: int):
+  """Sorted component min-indices (= first-visit root order) per
+  slice, padded with n, from kernel A's scatter targets (rank at
+  roots, -1 elsewhere).
+
+  The extraction is a scatter roots[rank] = index phrased as MXU
+  one-hot matmuls (mxu_scatter.scatter_add_multi) with the index
+  split into three byte planes so every weight is bf16-exact.
+  (jax.lax.top_k over the root mask was measured 20x slower at this
+  width, and an XLA cumsum for the ranks slower still — the ranks
+  come from the kernel's in-VMEM 2D prefix instead.) Callers
+  guarantee N <= cap_n."""
+  from . import mxu_scatter
+  B = tgt.shape[0]
+  n = int(np.prod(tgt.shape[1:]))
+  tf = tgt.reshape(B, n)
+  idx = jax.lax.broadcasted_iota(jnp.int32, (B, n), 1)
+  N = jnp.max(tf, axis=1) + 1
+  p0 = idx & 255
+  p1 = (idx >> 8) & 255
+  p2 = idx >> 16
+  r0, r1, r2 = mxu_scatter.scatter_add_multi(
+    tf, (p0, p1, p2), n_bins=cap_n)
+  roots = r0 | (r1 << 8) | (r2 << 16)
+  # ranks are unique per slice so each bin receives at most one
+  # index; unfilled bins (k >= N) pad with n
+  kio = jax.lax.broadcasted_iota(jnp.int32, (B, cap_n), 1)
+  roots = jnp.where(kio < N[:, None], roots, n)
+  return roots, N
+
+
+def plant_traced(L, roots, T, sx: int, sy: int, BLK=64, UNROLL=4):
+  """Trace-time kernel B entry.
+
+  L (B, sy, sx) int32, roots (B, cap_n) int32 sorted (pad n),
+  T (B, K, cap_n) int32 value tables (K may be 0 for cc-only).
+  Returns (cc (B, sy*sx) int32, painted (B, K, sy*sx) int32)."""
+  B = L.shape[0]
+  cap_n = roots.shape[1]
+  K = T.shape[1]
+  kernel = functools.partial(_plant_kernel, sx=sx, sy=sy,
+                             cap_n=cap_n, channels=K,
+                             BLK=BLK, UNROLL=UNROLL)
+  out_specs = [pl.BlockSpec((1, sy, sx), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)]
+  out_shape = [jax.ShapeDtypeStruct((B, sy, sx), jnp.int32)]
+  for _ in range(K):
+    out_specs.append(pl.BlockSpec((1, 1, sy, sx),
+                                  lambda i: (i, 0, 0, 0),
+                                  memory_space=pltpu.VMEM))
+    out_shape.append(jax.ShapeDtypeStruct((B, 1, sy, sx), jnp.int32))
+  t_in = T if K else jnp.zeros((B, 1, cap_n), jnp.int32)
+  with jax.enable_x64(False):
+    outs = pl.pallas_call(
+      kernel,
+      grid=(B,),
+      in_specs=[
+        pl.BlockSpec((1, sy, sx), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, cap_n), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, max(K, 1), cap_n), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+      ],
+      out_specs=out_specs,
+      out_shape=out_shape,
+      compiler_params=_compiler_params(sx, sy),
+      interpret=INTERPRET,
+    )(L, roots[:, None, :], t_in)
+  if K:
+    cc, *painted = outs
+    painted = jnp.concatenate(painted, axis=1)
+  else:
+    cc = outs[0] if isinstance(outs, (list, tuple)) else outs
+    painted = jnp.zeros((B, 0, sy, sx), jnp.int32)
+  return cc.reshape(B, sy * sx), painted.reshape(B, K, sy * sx)
+
+
+def _pow2_cap(cap_n: int) -> int:
+  return max(8, 1 << max(int(cap_n) - 1, 0).bit_length())
+
+
+def ccl_paint_v2(vcg, T, sx: int, sy: int):
+  """v2 CCL + paint: converge-only sweeps, XLA root extraction, one
+  windowed plant loop producing cc AND painted labels. Drop-in for
+  ccl_paint_traced (returns (cc, N, painted))."""
+  cap_n = T.shape[2]
+  cap2 = _pow2_cap(cap_n)  # binary search needs a power-of-two table
+  if cap2 != cap_n:
+    T = jnp.pad(T, ((0, 0), (0, 0), (0, cap2 - cap_n)))
+  L, tgt = ccl_min_traced(vcg, sx, sy)
+  roots, N = roots_from_tgt(tgt, cap2)
+  cc, painted = plant_traced(L, roots, T, sx, sy)
+  return cc, N, painted
+
+
 def _compiler_params(sx: int, sy: int):
   """Mosaic's default scoped-VMEM cap is 16 MB; the unrolled log-step
   sweep chains keep tens of (sy, sx) i32 buffers live at 512^2, which

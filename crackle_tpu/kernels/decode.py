@@ -28,11 +28,19 @@ This mirrors crackle_tpu.ops.crackcode / ops.ccl bit-for-bit; the
 numpy implementations there are the correctness oracle.
 """
 import functools
+import os as _os
 from typing import Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# CCL engine choice inside the fused decode paths: v1 re-propagates
+# first-visit ranks through a second sweep loop; v2 stops after
+# convergence and plants ranks from the min-index image (kernel split
+# + MXU root harvest). v1 stays the default until v2 measures faster
+# end-to-end on hardware (set CRACKLE_TPU_CCL_V2=1 to opt in).
+_CCL_V1 = _os.environ.get("CRACKLE_TPU_CCL_V2", "") != "1"
 
 # The scope-matching sort keys need 64-bit integer range.
 jax.config.update("jax_enable_x64", True)
@@ -431,7 +439,10 @@ def decode_slices_full_plant(packed, nbytes, nodes, n_chains, T,
   from . import ccl_pallas
   vcg = _vcg_for_ccl(packed, nbytes, nodes, n_chains, sx, sy,
                      permissible)
-  cc, N, painted = ccl_pallas.ccl_paint_traced(vcg, T, sx, sy)
+  if _CCL_V1:
+    cc, N, painted = ccl_pallas.ccl_paint_traced(vcg, T, sx, sy)
+  else:
+    cc, N, painted = ccl_pallas.ccl_paint_v2(vcg, T, sx, sy)
   if T.shape[1] == 2:
     lo = jax.lax.bitcast_convert_type(
       painted[:, 0], jnp.uint32).astype(jnp.uint64)
@@ -470,7 +481,19 @@ def decode_slices_full_pins(packed, nbytes, nodes, n_chains,
   B = packed.shape[0]
   vcg = _vcg_for_ccl(packed, nbytes, nodes, n_chains, sx, sy,
                      permissible)
-  cc, N = ccl_pallas.ccl_batch(vcg, sx, sy)
+  plant_ok = (ccl_pallas.use_pallas(sx, sy)
+              and cap_n <= ccl_pallas.PAINT_CAP_N)
+  L = roots = None
+  if plant_ok and not _CCL_V1:
+    # v2: one converge pass; cc and (later) the paint both plant from
+    # the min-index image — the old path ran the full CCL sweeps twice
+    cap2 = ccl_pallas._pow2_cap(cap_n)
+    L, tgt = ccl_pallas.ccl_min_traced(vcg, sx, sy)
+    roots, N = ccl_pallas.roots_from_tgt(tgt, cap2)
+    cc, _ = ccl_pallas.plant_traced(
+      L, roots, jnp.zeros((B, 0, cap2), jnp.int32), sx, sy)
+  else:
+    cc, N = ccl_pallas.ccl_batch(vcg, sx, sy)
 
   T = jnp.full((B, cap_n + 1), bg32, jnp.int32)
   rows = jnp.arange(B, dtype=jnp.int32)[:, None]
@@ -481,7 +504,14 @@ def decode_slices_full_pins(packed, nbytes, nodes, n_chains,
   p_tgt = jnp.where(pin_locs >= 0, ccv, cap_n)
   T = T.at[rows, p_tgt].set(pin_labs, mode='drop')
 
-  if ccl_pallas.use_pallas(sx, sy) and cap_n <= ccl_pallas.PAINT_CAP_N:
+  if L is not None:
+    cap2 = ccl_pallas._pow2_cap(cap_n)
+    Tp = jnp.pad(T[:, None, :cap_n],
+                 ((0, 0), (0, 0), (0, cap2 - cap_n))) \
+        if cap2 != cap_n else T[:, None, :cap_n]
+    _, painted = ccl_pallas.plant_traced(L, roots, Tp, sx, sy)
+    painted = painted[:, 0]
+  elif plant_ok:
     _, _, painted = ccl_pallas.ccl_paint_traced(
       vcg, T[:, None, :cap_n], sx, sy)
     painted = painted[:, 0]

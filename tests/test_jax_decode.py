@@ -404,3 +404,31 @@ def test_replay_big_compact_cancel_path(force_big, monkeypatch):
     b2 = crackle.compress(v2)
     out2 = engine.decode_window(b2, 0, shape[2])
     np.testing.assert_array_equal(out2, v2)
+
+
+def test_ccl_v2_plant_matches_v1(monkeypatch):
+  """The v2 CCL (converge-only kernel + root plant) must produce the
+  identical first-visit numbering and painted labels as the v1
+  rank-re-propagation path. v2 is env-gated (CRACKLE_TPU_CCL_V2) —
+  measured slower end-to-end on v5e (BENCH_NOTES round 5) — but kept
+  correct for future hardware where the trade flips."""
+  import jax.numpy as jnp
+  from crackle_tpu.kernels import ccl_pallas
+  monkeypatch.setattr(ccl_pallas, "INTERPRET", True)
+  rng = np.random.RandomState(11)
+  B, sy, sx = 3, 24, 40
+  labels = rng.randint(0, 6, size=(B, sy, sx)).astype(np.int32)
+  for _ in range(4):  # smooth so N stays under cap_n
+    ax = rng.randint(1, 3)
+    m = rng.rand(B, sy, sx) < 0.6
+    labels = np.where(m, np.roll(labels, 1, axis=ax), labels)
+  from crackle_tpu.kernels import encode as enc_k
+  vcg = enc_k.labels_to_vcg(jnp.asarray(labels), sx, sy)
+  cap_n = 512
+  T = jnp.asarray(
+    rng.randint(1, 1 << 20, size=(B, 1, cap_n)).astype(np.int32))
+  cc1, N1, p1 = ccl_pallas.ccl_paint_traced(vcg, T, sx, sy)
+  cc2, N2, p2 = ccl_pallas.ccl_paint_v2(vcg, T, sx, sy)
+  np.testing.assert_array_equal(np.asarray(cc1), np.asarray(cc2))
+  np.testing.assert_array_equal(np.asarray(N1), np.asarray(N2))
+  np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
