@@ -48,6 +48,19 @@ def main():
   z0, z1 = multihost.host_z_window(sz, nproc, pid)
   shard = multihost.compress_shard(
     np.asfortranarray(vol[:, :, z0:z1]))
+
+  # the full SURVEY 2.5 story: each process encodes its z-window with
+  # the sharded encode over its LOCAL devices (per-voxel stages under
+  # shard_map), then the shards splice into the global stream —
+  # byte-identical at every level
+  from crackle_tpu.parallel import sharding
+  local_mesh = sharding.make_mesh(jax.local_devices())
+  shard_sharded = sharding.compress_sharded(
+    np.asfortranarray(vol[:, :, z0:z1]), local_mesh)
+  assert shard_sharded is not None, "sharded encode declined"
+  assert shard_sharded == shard, \
+      "sharded-encode shard bytes != host-encode shard bytes"
+
   with open(os.path.join(tmp, f"shard_{pid}.ckl"), "wb") as f:
     f.write(shard)
   multihost_utils.sync_global_devices("shards_written")
