@@ -161,6 +161,18 @@ def _encode_stage1(planes, sx: int, sy: int, wide: bool):
   return vcg, cc, N, crcs, pairs
 
 
+@jax.jit
+def _pack_vcg_nibbles(vcg):
+  """(B, n) uint8 4-bit VCGs -> (B, ceil(n/2)) uint8, two pixels per
+  byte (even pixel in the low nibble). Halves the device->host fetch
+  on the encode path — the VCG is the only O(volume) transfer."""
+  B, n = vcg.shape
+  if n % 2:
+    vcg = jnp.pad(vcg, ((0, 0), (0, 1)))
+  v = vcg.reshape(B, -1, 2)
+  return v[:, :, 0] | (v[:, :, 1] << 4)
+
+
 def encode_flat_device(labels, parallel: int = 0,
                        fortran_order: bool = True):
   """TPU-path compress for flat labels / markov 0: the per-voxel
@@ -226,12 +238,11 @@ def encode_flat_device(labels, parallel: int = 0,
       component_labels(planes, cc_d, N, sx, sy)
     ).view(np.uint32).astype(np.uint64)
 
-  vcg = np.asarray(vcg_d)
   crcs = np.asarray(crcs_d).astype(np.uint32)
   num_pairs = int(np.asarray(pairs_d))
 
   return assemble_flat_stream(
-    vcg, tables, N, crcs, num_pairs, sx, sy, sz,
+    vcg_d, tables, N, crcs, num_pairs, sx, sy, sz,
     data_width=np_dtype.itemsize, fortran_order=fortran_order,
     parallel=parallel)
 
@@ -244,8 +255,10 @@ def assemble_flat_stream(vcg, tables, N, crcs, num_pairs,
   per-slice DFS trace from fetched VCGs (threaded) + flat-label and
   container assembly. Byte-identical to codec.compress.
 
-  vcg (sz, sy*sx) u8, tables (sz, cap) u64, N (sz,), crcs (sz,) u32,
-  num_pairs: flat F-order pixel-pair count of the full volume."""
+  vcg (sz, sy*sx) u8 — numpy, or a device array (fetched here in
+  nibble-packed chunks overlapped with tracing); tables (sz, cap)
+  u64, N (sz,), crcs (sz,) u32, num_pairs: flat F-order pixel-pair
+  count of the full volume."""
   from .. import codec as _codec
   from ..headers import CrackleHeader, CrackFormat, LabelFormat
   from ..lib import compute_byte_width, width2dtype, crc32c, itoc
@@ -263,22 +276,54 @@ def assemble_flat_stream(vcg, tables, N, crcs, num_pairs,
   stored_width = compute_byte_width(max_label)
   stored_dtype = width2dtype[stored_width]
 
-  # per-slice DFS trace from the device VCG (threaded; the native
-  # call releases the GIL)
+  # per-slice DFS trace (threaded; the native call releases the GIL).
+  # A device-resident VCG fetches in nibble-packed chunks with the
+  # d2h transfers issued asynchronously up front, so tracing chunk k
+  # overlaps the transfer of chunk k+1.
   sxy = sx * sy
   codes: list = [None] * sz
-
-  def one(z):
-    codes[z] = native.encode_slice_vcg(vcg[z], sx, sy, permissible)
-
   n_threads = _codec._pool_size(parallel, sz)
-  if n_threads <= 1 or sz <= 1:
+
+  def one(z, vz):
+    codes[z] = native.encode_slice_vcg(vz, sx, sy, permissible)
+
+  is_dev = not isinstance(vcg, np.ndarray)
+  if is_dev:
+    packed = _pack_vcg_nibbles(vcg)
+    CH = max(1, (4 << 20) // max(sxy // 2, 1))  # ~4 MB chunks
+    chunks = [packed[z0:min(z0 + CH, sz)]
+              for z0 in range(0, sz, CH)]
+    for c in chunks:
+      try:
+        c.copy_to_host_async()
+      except Exception:  # noqa: BLE001 - async prefetch is best-effort
+        break
+
+    def unpack(p):
+      p = np.asarray(p)
+      out = np.empty((p.shape[0], p.shape[1] * 2), np.uint8)
+      out[:, 0::2] = p & 0x0F
+      out[:, 1::2] = p >> 4
+      return out[:, :sxy]
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max(n_threads, 1)) as pool:
+      futs = []
+      z0 = 0
+      for c in chunks:
+        vcg_np = unpack(c)
+        for i in range(vcg_np.shape[0]):
+          futs.append(pool.submit(one, z0 + i, vcg_np[i]))
+        z0 += vcg_np.shape[0]
+      for f in futs:
+        f.result()
+  elif n_threads <= 1 or sz <= 1:
     for z in range(sz):
-      one(z)
+      one(z, vcg[z])
   else:
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(n_threads) as pool:
-      list(pool.map(one, range(sz)))
+      list(pool.map(lambda z: one(z, vcg[z]), range(sz)))
   if any(c is None for c in codes):
     return None
 

@@ -348,7 +348,7 @@ def compress_sharded(labels: np.ndarray, mesh: Optional[Mesh] = None,
     tables = np.asarray(_enc.component_labels(
       planes, cc_d, np.asarray(N_d), sx, sy
     ))[:sz].view(np.uint32).astype(np.uint64)
-  vcg = np.asarray(vcg_d)[:sz]
+  vcg = vcg_d[:sz]  # stays on device; assemble fetches packed chunks
   crcs = np.asarray(crcs_d)[:sz].astype(np.uint32)
 
   flat = zyx[:sz].reshape(-1)
