@@ -275,27 +275,32 @@ def _bench_markov(crackle, engine, jnp):
 
 
 def _bench_pins(crackle, engine, jnp):
-  """Pins stream through the fused device decode (per-window h2d of
-  the parsed sections + all-device paint)."""
+  """Pins stream served from an HBM-resident DeviceStream (sections
+  and pin tables uploaded once, like flat streams)."""
   path = os.path.join(BENCH_DIR, "connectomics_v2_pins_256x256x128.ckl")
   if not os.path.exists(path):
     return None
   binary = open(path, "rb").read()
   voxels = SHAPE[0] * SHAPE[1] * SHAPE[2]
   sz = SHAPE[2]
-  res = engine.decode_window_device(binary, 0, sz)  # warm + compile
-  if res is None:
-    print("pins: decode_window_device declined", file=sys.stderr)
+  stream = engine.upload_stream(binary)
+  if stream is None:
+    print("pins: upload_stream declined", file=sys.stderr)
     return None
+  labels, cc, N = stream.decode_window(0, sz, check_crcs=True)
+  _sync(jnp.max(labels))
   best = None
   for _ in range(3):
     t0 = time.perf_counter()
-    labels, cc, N, head = engine.decode_window_device(binary, 0, sz)
-    _sync(jnp.max(labels))
-    dt = time.perf_counter() - t0
+    outs = []
+    for _i in range(4):
+      labels, cc, N = stream.decode_window(0, sz)
+      outs.append(jnp.max(labels))
+    _sync(jnp.stack(outs))
+    dt = (time.perf_counter() - t0) / 4
     best = dt if best is None else min(best, dt)
   mvx = voxels / best / 1e6
-  print(f"pins decode steady-state (device, incl. per-window h2d): "
+  print(f"pins decode steady-state (DeviceStream): "
         f"{best * 1e3:.1f} ms/window {mvx:.1f} MVx/s", file=sys.stderr)
   return mvx
 

@@ -358,7 +358,7 @@ class DeviceStream:
   to the per-window h2d path)."""
 
   def __init__(self, head, packed, nbytes, nodes, n_chains, T,
-               permissible: bool, crcs=None):
+               permissible: bool, crcs=None, pins=None):
     self.head = head
     self.packed = packed
     self.nbytes = nbytes
@@ -367,12 +367,19 @@ class DeviceStream:
     self.T = T
     self.permissible = permissible
     self.crcs = crcs  # (sz,) uint32 stored per-slice crack crc32cs
+    # pins streams: (pin_locs, pin_labs, single_ids, single_labs,
+    # bg32, cap_n) with the per-slice arrays HBM-resident
+    self.pins = pins
 
   @property
   def nbytes_device(self) -> int:
-    return sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in
-               (self.packed, self.nbytes, self.nodes, self.n_chains,
-                self.T))
+    arrs = [self.packed, self.nbytes, self.nodes, self.n_chains]
+    if self.T is not None:
+      arrs.append(self.T)
+    if self.pins is not None:
+      arrs.extend(self.pins[:4])
+    return sum(int(np.prod(a.shape)) * a.dtype.itemsize
+               for a in arrs)
 
   def decode_window(self, z_start: int, z_end: int,
                     check_crcs: bool = False):
@@ -384,18 +391,28 @@ class DeviceStream:
     against the stored words uploaded with the stream) and raises
     FormatError on mismatch — integrity-checked serving with no
     device->host transfer of the decoded volume."""
-    if z_start == 0 and z_end == self.head.sz:
-      # full-window: skip the per-array device slicing dispatches
-      args = (self.packed, self.nbytes, self.nodes, self.n_chains,
-              self.T)
+    full = z_start == 0 and z_end == self.head.sz
+
+    def win(a):
+      # full-window skips the per-array device slicing dispatches
+      return a if full else a[z_start:z_end]
+
+    if self.pins is not None:
+      pl_, pb_, si_, sl_, bg32, cap_n = self.pins
+      labels, cc, N = _dec.decode_slices_full_pins(
+        win(self.packed), win(self.nbytes), win(self.nodes),
+        win(self.n_chains), win(pl_), win(pb_), win(si_), win(sl_),
+        jnp.int32(bg32),
+        sx=self.head.sx, sy=self.head.sy,
+        permissible=self.permissible, cap_n=cap_n,
+      )
     else:
-      args = (self.packed[z_start:z_end], self.nbytes[z_start:z_end],
-              self.nodes[z_start:z_end], self.n_chains[z_start:z_end],
-              self.T[z_start:z_end])
-    labels, cc, N = _dec.decode_slices_full_plant(
-      *args,
-      sx=self.head.sx, sy=self.head.sy, permissible=self.permissible,
-    )
+      labels, cc, N = _dec.decode_slices_full_plant(
+        win(self.packed), win(self.nbytes), win(self.nodes),
+        win(self.n_chains), win(self.T),
+        sx=self.head.sx, sy=self.head.sy,
+        permissible=self.permissible,
+      )
     if check_crcs and self.crcs is not None:
       from . import crc32c_tpu
       got = crc32c_tpu.crc32c_device(cc)
@@ -414,6 +431,8 @@ def upload_stream(binary: bytes) -> Optional[DeviceStream]:
   """Parse a crackle stream and park it in HBM as a DeviceStream.
   Returns None when the stream needs a fallback decode path."""
   head = _codec.header(binary)
+  if head.label_format == LabelFormat.PINS_VARIABLE_WIDTH:
+    return _upload_pins_stream(head, binary)
   if head.label_format != LabelFormat.FLAT:
     return _fallback("upload_stream",
                      f"label format {head.label_format} != FLAT")
@@ -454,6 +473,37 @@ def upload_stream(binary: bytes) -> Optional[DeviceStream]:
     jnp.asarray(T),
     permissible=head.crack_format == CrackFormat.PERMISSIBLE,
     crcs=crcs,
+  )
+
+
+def _upload_pins_stream(head, binary: bytes):
+  """Park a condensed-pins stream in HBM: packed crack sections plus
+  the per-slice pin/single scatter tables, so window serving needs no
+  further host parsing or h2d (the flat-stream DeviceStream story,
+  labels.hpp:508-617 decode parity)."""
+  inputs = prepare_slice_inputs(binary, 0, head.sz)
+  if inputs is None or not _device_cap_ok(inputs):
+    return _fallback("upload_stream", "stream exceeds MAX_DEVICE_CAP")
+  tables = _pins_device_tables(head, binary, 0, head.sz)
+  if tables is None:
+    return _fallback("upload_stream",
+                     "pins tables unavailable (stored width > 4)")
+  pin_locs, pin_labs, single_ids, single_labs, bg32, cap_n = tables
+  crcs = None
+  if head.format_version > 0:
+    stored = _codec.crack_crcs(binary)
+    if stored is not None:
+      crcs = jnp.asarray(np.asarray(stored, dtype='<u4'))
+  return DeviceStream(
+    head,
+    jnp.asarray(inputs["packed"]), jnp.asarray(inputs["nbytes"]),
+    jnp.asarray(inputs["nodes"]), jnp.asarray(inputs["n_chains"]),
+    None,
+    permissible=head.crack_format == CrackFormat.PERMISSIBLE,
+    crcs=crcs,
+    pins=(jnp.asarray(pin_locs), jnp.asarray(pin_labs),
+          jnp.asarray(single_ids), jnp.asarray(single_labs),
+          bg32, cap_n),
   )
 
 

@@ -432,3 +432,28 @@ def test_ccl_v2_plant_matches_v1(monkeypatch):
   np.testing.assert_array_equal(np.asarray(cc1), np.asarray(cc2))
   np.testing.assert_array_equal(np.asarray(N1), np.asarray(N2))
   np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_pins_device_stream_windows(monkeypatch):
+  """Condensed-pins streams park in HBM via upload_stream (like flat
+  streams) and serve arbitrary z windows with crc checking."""
+  import jax.numpy as jnp
+  from crackle_tpu.kernels import ccl_pallas, engine
+  monkeypatch.setattr(ccl_pallas, "INTERPRET", True)
+  rng = np.random.RandomState(9)
+  vol = rng.randint(0, 4, size=(20, 18, 10)).astype(np.uint32)
+  for _ in range(12):
+    ax = rng.randint(0, 3)
+    m = rng.rand(*vol.shape) < 0.6
+    vol = np.where(m, np.roll(vol, 1, axis=ax), vol)
+  vol = np.asfortranarray(vol)
+  binary = crackle.compress(vol, allow_pins=1)
+  head = crackle.header(binary)
+  assert head.label_format == 2, "volume did not trigger pin encoding"
+  stream = engine.upload_stream(binary)
+  assert stream is not None and stream.pins is not None
+  for z0, z1 in [(0, 10), (3, 7), (9, 10)]:
+    labels, cc, N = stream.decode_window(z0, z1, check_crcs=True)
+    got = np.asarray(labels).astype(vol.dtype) \
+      .reshape(z1 - z0, 18, 20).transpose(2, 1, 0)
+    np.testing.assert_array_equal(got, vol[:, :, z0:z1])
