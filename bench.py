@@ -305,6 +305,40 @@ def _bench_pins(crackle, engine, jnp):
   return mvx
 
 
+def _bench_watershed(crackle, engine, jnp):
+  """u64 watershed-class stream (ws.npy profile: oversegmented,
+  64-bit labels painted as (lo, hi) planes) through DeviceStream.
+  Reference bar: 213.4 MVx/s 1-thread decompress
+  (benchmarks/README.md:310)."""
+  path = os.path.join(BENCH_DIR, "watershed_u64_256x256x128.ckl")
+  if not os.path.exists(path):
+    return None
+  binary = open(path, "rb").read()
+  voxels = SHAPE[0] * SHAPE[1] * SHAPE[2]
+  sz = SHAPE[2]
+  stream = engine.upload_stream(binary)
+  if stream is None:
+    print("watershed: upload_stream declined", file=sys.stderr)
+    return None
+  labels, cc, N = stream.decode_window(0, sz, check_crcs=True)
+  _sync(jnp.max(labels))
+  best = None
+  for _ in range(3):
+    t0 = time.perf_counter()
+    outs = []
+    for _i in range(4):
+      labels, cc, N = stream.decode_window(0, sz)
+      outs.append(jnp.max(labels))
+    _sync(jnp.stack(outs))
+    dt = (time.perf_counter() - t0) / 4
+    best = dt if best is None else min(best, dt)
+  mvx = voxels / best / 1e6
+  print(f"watershed u64 decode steady-state (DeviceStream): "
+        f"{best * 1e3:.1f} ms/window {mvx:.1f} MVx/s",
+        file=sys.stderr)
+  return mvx
+
+
 def _bench_encode(crackle, vol, voxels):
   # warmup, then best-of-3: a single cold call measures the container's
   # CPU scheduling noise more than the encoder (round-3 postmortem)
@@ -389,6 +423,8 @@ def main():
   stage1_mvx = _fence("encode-stage1", _bench_stage1, jnp, vol, voxels)
   mkv_mvx = _fence("markov-device", _bench_markov, crackle, engine, jnp)
   pins_mvx = _fence("pins-device", _bench_pins, crackle, engine, jnp)
+  ws_mvx = _fence("watershed-device", _bench_watershed, crackle,
+                  engine, jnp)
 
   # primary: the canonical 512^3 volume (per-slice CCL crc32c checked
   # on device during the cold pass)
@@ -408,6 +444,7 @@ def main():
                  ("encode_stage1_mvx", stage1_mvx),
                  ("markov_decode_mvx", mkv_mvx),
                  ("pins_decode_mvx", pins_mvx),
+                 ("watershed_u64_decode_mvx", ws_mvx),
                  ("decode_256_mvx", mvx256)):
     if v:
       out[key] = round(v, 1)

@@ -56,6 +56,33 @@ def main():
           f.write(binary)
     del vol
 
+  # u64 watershed proxy (ws.npy class: oversegmented, small cells,
+  # 64-bit labels; reference cutouts compress to ~1.65%,
+  # benchmarks/README.md:50-53)
+  wpath = os.path.join(BENCH_DIR, "watershed_u64_256x256x128.ckl")
+  if not os.path.exists(wpath):
+    import bench as _b
+    rng = np.random.RandomState(7)
+    sx, sy, sz = 256, 256, 128
+    dims = np.array([sx, sy, sz], float)
+    pts = rng.rand(4200, 3) * dims
+    aniso = np.array([1.0, 1.0, 0.35])
+    from scipy.spatial import cKDTree
+    tree = cKDTree(pts * aniso)
+    xs, ys, zs = np.meshgrid(np.arange(sx), np.arange(sy),
+                             np.arange(sz), indexing='ij')
+    q = np.stack([xs.ravel(), ys.ravel(), zs.ravel()], axis=1) * aniso
+    _, idx = tree.query(q, workers=-1)
+    vol = np.asfortranarray(
+      (idx.astype(np.uint64) + np.uint64(2) ** 40 + 1)
+      .reshape(sx, sy, sz))
+    binary = crackle.compress(vol)
+    print(f"watershed u64: ratio {len(binary) / vol.nbytes:.4%}",
+          flush=True)
+    with open(wpath, "wb") as f:
+      f.write(binary)
+    del vol
+
   # pathological binary noise (reference per-pattern table,
   # benchmarks/README.md:148-241): 512^2 slices, ~300K codepoints
   npath = os.path.join(BENCH_DIR, "binary_noise_512x512x16.ckl")
