@@ -164,11 +164,12 @@ def _bench_512(crackle, engine, jnp):
 
 
 def _bench_noise(crackle, engine):
-  """Pathological binary noise (the reference's worst case). Streams
-  past MAX_DEVICE_CAP route to the native host decoder by design
-  (device compiles hit a multi-ten-minute Mosaic/XLA cliff at
-  R >= 4096 — BENCH_NOTES), so this measures whichever path the
-  dispatch actually picks."""
+  """Pathological binary noise (the reference's worst case). Long
+  multi-chain slices split into device-decodable virtual slices, but
+  binary noise is one giant crack chain per slice (~95% of the
+  stream), which cannot split — those route to the native host
+  decoder by design (BENCH_NOTES "compile-time cliffs"). Measures
+  whichever path the dispatch actually picks."""
   path = os.path.join(BENCH_DIR, "binary_noise_512x512x16.ckl")
   if not os.path.exists(path):
     return

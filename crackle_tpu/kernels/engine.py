@@ -2,6 +2,7 @@
 pads per-slice crack streams into fixed-shape device arrays (bucketed
 to limit recompiles), launches the batched kernels, and assembles the
 output volume."""
+import functools
 import logging
 import os as _os
 from typing import Optional, Tuple
@@ -34,11 +35,15 @@ def _next_pow2(x: int) -> int:
   return 1 << (x - 1).bit_length()
 
 
-# Streams whose longest slice exceeds this codepoint capacity decode
-# on the host: both the chunked Pallas replay and the XLA pipeline
-# hit multi-ten-minute compiles at R = CAP/128 >= 4096 (see
-# BENCH_NOTES "compile-time cliffs"), and such streams (binary-noise
-# class, >2 bits/voxel) are outside the codec's size win anyway.
+# Streams whose longest slice exceeds this codepoint capacity first
+# try chain-aligned virtual-slice splitting (prepare_split_inputs);
+# only when a SINGLE chain exceeds the cap (binary-noise class: the
+# crack graph is one connected component holding ~95% of the stream)
+# does the window fall back to the native host decoder — both the
+# chunked Pallas replay and the XLA pipeline hit multi-ten-minute
+# compiles at R = CAP/128 >= 4096 (BENCH_NOTES "compile-time
+# cliffs"), and the XLA path's dense MXU scatter is O(N * bins) at
+# bins = CAP, so such streams are outside the device win anyway.
 MAX_DEVICE_CAP = int(_os.environ.get("CRACKLE_TPU_MAX_DEVICE_CAP",
                                      1 << 17))
 
@@ -126,12 +131,161 @@ def prepare_slice_inputs(binary: bytes, z_start: int, z_end: int):
   }
 
 
+# virtual-slice splitting: pieces target this many codepoints so the
+# fused replay stays at R <= 512 (compile-cheap, cache-warm bucket)
+SPLIT_TARGET_CPS = 1 << 16
+
+
+def _split_slice_stream(code: bytes, nodes: np.ndarray,
+                        max_cps: int):
+  """Split one slice's packed move stream (BOC already stripped) at
+  chain boundaries into pieces of <= max_cps codepoints.
+
+  Chains replay independently (each starts at its own BOC node with a
+  self-contained branch scope), and the pair-classifier state at a
+  chain-start codepoint is always "fresh" (it follows a pair-second,
+  so it can never itself be a pair-second — classify_codepoints'
+  recurrence s[i] = r[i] & ~s[i-1]), so re-basing a piece's first
+  codepoint as absolute reproduces the in-stream classification
+  exactly. Returns [(packed_bytes, nodes_piece), ...] or None when a
+  single chain exceeds max_cps (caller falls back)."""
+  cps = _cc.unpack_codepoints(code, 0)
+  s, kind = _cc.classify_codepoints(cps)
+  ends, ok = _cc.segment_chains(kind, s, len(nodes))
+  if not ok:
+    return None
+  starts = np.concatenate([[0], ends[:-1] + 2]).astype(np.int64)
+  bounds = np.concatenate([starts, [ends[-1] + 2]]).astype(np.int64)
+  n_chains = len(nodes)
+  pieces = []
+  i = 0
+  while i < n_chains:
+    # largest j with bounds[j] - bounds[i] <= max_cps
+    j = int(np.searchsorted(bounds, bounds[i] + max_cps,
+                            side='right')) - 1
+    j = min(j, n_chains)
+    if j <= i:
+      return None  # one chain alone exceeds max_cps
+    piece = cps[bounds[i]:bounds[j]].astype(np.int64)
+    d = piece.copy()
+    d[1:] = (piece[1:] - piece[:-1]) & 3  # d[0] stays absolute
+    pad = (-len(d)) % 4
+    if pad:
+      d = np.concatenate([d, np.zeros(pad, np.int64)])
+    q = d.reshape(-1, 4)
+    by = (q[:, 0] | (q[:, 1] << 2) | (q[:, 2] << 4)
+          | (q[:, 3] << 6)).astype(np.uint8)
+    pieces.append((by.tobytes(), nodes[i:j]))
+    i = j
+  return pieces
+
+
+def prepare_split_inputs(binary: bytes, z_start: int, z_end: int,
+                         max_cps: int = 0):
+  """prepare_slice_inputs for streams whose slices exceed the device
+  replay capacity: long slices split into chain-aligned virtual
+  slices. Returns (inputs dict over pieces, piece_z (P,) window-local
+  source slice of each piece) or None."""
+  head = _codec.header(binary)
+  if head.markov_model_order > 0:
+    return None  # markov prep already re-packs; keep paths separate
+  if not max_cps:
+    max_cps = min(SPLIT_TARGET_CPS, MAX_DEVICE_CAP)
+  codes = _codec.crack_codes(binary)[z_start:z_end]
+  packed_list, nodes_list, piece_z = [], [], []
+  for wz, code in enumerate(codes):
+    if len(code) == 0:
+      packed_list.append(b'')
+      nodes_list.append(np.zeros(0, np.int64))
+      piece_z.append(wz)
+      continue
+    index_size = 4 + ctoi(code, 0, 4)
+    nodes = _cc.read_boc_index(code, head.sx, head.sy)
+    body = code[index_size:]
+    if len(body) * 4 <= max_cps:
+      packed_list.append(body)
+      nodes_list.append(nodes)
+      piece_z.append(wz)
+      continue
+    pieces = _split_slice_stream(body, nodes, max_cps)
+    if pieces is None:
+      return None
+    for by, nd in pieces:
+      packed_list.append(by)
+      nodes_list.append(nd)
+      piece_z.append(wz)
+
+  P = len(packed_list)
+  max_bytes = max((len(p) for p in packed_list), default=0)
+  max_chains = max((len(n) for n in nodes_list), default=0)
+  CAP_B = _next_pow2(max(max_bytes, 4))
+  CAP_CH = _next_pow2(max(max_chains, 2))
+  packed = np.zeros((P, CAP_B), np.uint8)
+  nbytes = np.zeros(P, np.int32)
+  nodes = np.zeros((P, CAP_CH), np.int32)
+  n_chains = np.zeros(P, np.int32)
+  for i, (p, nd) in enumerate(zip(packed_list, nodes_list)):
+    packed[i, :len(p)] = np.frombuffer(p, np.uint8)
+    nbytes[i] = len(p)
+    nodes[i, :len(nd)] = nd
+    n_chains[i] = len(nd)
+  return {
+    "head": head,
+    "packed": packed,
+    "nbytes": nbytes,
+    "nodes": nodes,
+    "n_chains": n_chains,
+  }, np.asarray(piece_z, np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("sx", "sy", "B",
+                                             "permissible"))
+def _split_ccl_step(packed, nbytes, nodes, n_chains, piece_z, sx, sy,
+                    B, permissible):
+  v = _dec.decode_slices_to_vcg.__wrapped__(
+    packed, nbytes, nodes, n_chains, sx=sx, sy=sy,
+    permissible=permissible)
+  pres = v if permissible else v ^ 0b1111
+  merged = jnp.zeros((B, sy * sx), pres.dtype)
+  merged = merged.at[piece_z].max(pres)
+  vcg = merged if permissible else merged ^ 0b1111
+  from . import ccl_pallas
+  return ccl_pallas.ccl_batch(vcg, sx, sy)
+
+
+def _decode_ccl_split(binary: bytes, z_start: int, z_end: int):
+  """Device decode of a window whose slices exceed MAX_DEVICE_CAP:
+  virtual-slice pieces replay to VCG presence on device, merge with a
+  per-slice OR, then the normal CCL kernels run on the merged
+  rasters."""
+  res = prepare_split_inputs(binary, z_start, z_end)
+  if res is None:
+    return None
+  inputs, piece_z = res
+  if not _device_cap_ok(inputs):
+    return None  # a single chain exceeded the device capacity
+  head = inputs["head"]
+  permissible = head.crack_format == CrackFormat.PERMISSIBLE
+  B = z_end - z_start
+  cc, N = _split_ccl_step(
+    jnp.asarray(inputs["packed"]), jnp.asarray(inputs["nbytes"]),
+    jnp.asarray(inputs["nodes"]), jnp.asarray(inputs["n_chains"]),
+    jnp.asarray(piece_z), head.sx, head.sy, B, permissible)
+  return cc, N, head
+
+
 def decode_window_ccl_device(binary: bytes, z_start: int, z_end: int):
   """Decode a z window to per-slice first-visit CCL images that STAY
   on device. Returns (cc (B, sy*sx) int32, N (B,) int32, head) —
   the batched input for device analytics (kernels/stats_pallas.py)."""
   inputs = prepare_slice_inputs(binary, z_start, z_end)
   if inputs is None or not _device_cap_ok(inputs):
+    if inputs is not None:
+      # long slices: split into chain-aligned virtual slices and
+      # merge the piece VCGs on device
+      res = _decode_ccl_split(binary, z_start, z_end)
+      if res is not None:
+        return res
     return _fallback("decode_window_ccl_device",
                      "stream exceeds MAX_DEVICE_CAP"
                      if inputs is not None else "prepare declined")

@@ -457,3 +457,42 @@ def test_pins_device_stream_windows(monkeypatch):
     got = np.asarray(labels).astype(vol.dtype) \
       .reshape(z1 - z0, 18, 20).transpose(2, 1, 0)
     np.testing.assert_array_equal(got, vol[:, :, z0:z1])
+
+
+def test_split_decode_long_slices(monkeypatch):
+  """Slices beyond the device replay capacity split at chain
+  boundaries into virtual slices; piece VCGs merge on device and the
+  CCL matches the host engine exactly. (Splitting requires multiple
+  chains — a checkerboard of squares gives one closed-loop chain per
+  square; single-giant-chain streams like binary noise stay on the
+  host path by design.)"""
+  from crackle_tpu.kernels import engine
+  from crackle_tpu.ops.ccl import connected_components_slice
+  # isolated 3x3 islands on background: each island's boundary loop
+  # is its own connected crack component, hence its own chain
+  vol = np.ones((48, 40, 3), np.uint32)
+  k = 2
+  for x0 in range(1, 45, 6):
+    for y0 in range(1, 37, 6):
+      for z in range(3):
+        vol[x0:x0 + 3, y0:y0 + 3, z] = k
+        k += 1
+  vol = np.asfortranarray(vol)
+  binary = crackle.compress(vol)
+  monkeypatch.setattr(engine, "SPLIT_TARGET_CPS", 512)
+  res = engine._decode_ccl_split(binary, 0, 3)
+  assert res is not None
+  cc, N, head = res
+  cc = np.asarray(cc)
+  for z in range(3):
+    flat = np.ascontiguousarray(vol[:, :, z].T).ravel()
+    want, wn = connected_components_slice(flat, 48, 40)
+    np.testing.assert_array_equal(cc[z], want.astype(np.int32))
+    assert int(np.asarray(N)[z]) == wn
+
+  # dispatcher integration: an artificially tiny cap routes the
+  # normal entry point through the split path with crc checking
+  monkeypatch.setattr(engine, "MAX_DEVICE_CAP", 1024)
+  out = engine.decode_window_ccl(binary, 0, 3, check_crcs=True)
+  assert out is not None
+  np.testing.assert_array_equal(out[0][2], cc[2])
