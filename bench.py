@@ -38,12 +38,14 @@ SHAPE = (256, 256, 128)
 SHAPE512 = (512, 512, 512)
 BASELINE_DECODE_MVX = 545.6  # reference 1-thread M3, 512^3 connectomics
 
-# Two-scale seed densities calibrated so a 256x256x64 cutout
-# compresses to ~0.565% flat / 0.544% pins / 0.403% markov-5 —
-# matching the published connectomics.npy profile (0.56% / 0.51% /
-# 0.45%, benchmarks/README.md:10-14) with realistic per-slice
-# component counts. Densities are per 4.19M voxels
-# (= 256*256*64) and scale linearly with volume.
+# Two-scale seed densities calibrated to the published
+# connectomics.npy compression profile (0.56% flat / 0.51% pins /
+# 0.45% markov-5 on 256x256x64 cutouts, benchmarks/README.md:10-14):
+# the committed bench volumes land at 0.50% (256^2x128) and 0.70%
+# (512^3) flat — bracketing the published figure, with the 512^3
+# headline volume on the HARDER side — with realistic per-slice
+# component counts and the same pins < flat, markov < pins ordering.
+# Densities are per 4.19M voxels (= 256*256*64), scaled by volume.
 _SPARSE_PER_4M = 16     # large cells (the neurite/soma backbone)
 _PATCHES_PER_4M = 2     # dense patches of small fragments
 _PER_PATCH = 40

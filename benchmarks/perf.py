@@ -16,24 +16,31 @@ sys.path.insert(0, __file__.rsplit('/', 2)[0])
 import crackle_tpu as crackle
 
 
-def connectomics_like(shape, seed=0):
-  from scipy.spatial import cKDTree
-  rng = np.random.RandomState(seed)
-  sx, sy, sz = shape
-  n_seeds = max(sx * sy * sz // 7000, 10)
-  pts = rng.rand(n_seeds, 3) * np.array(shape)
-  aniso = np.array([1.0, 1.0, 0.35])
-  tree = cKDTree(pts * aniso)
-  xs, ys, zs = np.meshgrid(*[np.arange(s) for s in shape], indexing='ij')
-  q = np.stack([xs.ravel(), ys.ravel(), zs.ravel()], axis=1) * aniso
-  _, idx = tree.query(q, workers=-1)
-  return np.asfortranarray((idx + 1).astype(np.uint32).reshape(shape))
+def connectomics_like(shape, seed=42):
+  # the calibrated two-scale generator (bench.synthetic_connectomics):
+  # a 256x256x64 cutout compresses to ~0.565% flat / 0.544% pins /
+  # 0.403% markov-5, matching the published connectomics.npy profile
+  # (benchmarks/README.md:10-14 in the reference)
+  import bench
+  return bench.synthetic_connectomics(shape, seed=seed)
 
 
 def watershed_like(shape, seed=1):
-  # u64 oversegmentation: smaller fragments
-  a = connectomics_like(shape, seed).astype(np.uint64)
-  return np.asfortranarray(a * np.uint64(7919) + np.uint64(10 ** 12))
+  # u64 oversegmentation (ws.npy profile ~1.65%): dense uniform
+  # anisotropic Voronoi, one seed per ~2000 voxels
+  from scipy.spatial import cKDTree
+  rng = np.random.RandomState(seed)
+  sx, sy, sz = shape
+  n_seeds = max(sx * sy * sz // 2000, 10)
+  pts = rng.rand(n_seeds, 3) * np.array(shape)
+  aniso = np.array([1.0, 1.0, 0.35])
+  tree = cKDTree(pts * aniso)
+  xs, ys, zs = np.meshgrid(*[np.arange(s) for s in shape],
+                           indexing='ij')
+  q = np.stack([xs.ravel(), ys.ravel(), zs.ravel()], axis=1) * aniso
+  _, idx = tree.query(q, workers=-1)
+  return np.asfortranarray(
+    (idx.astype(np.uint64) + np.uint64(2) ** 40 + 1).reshape(shape))
 
 
 def random_noise(shape, seed=2):
