@@ -14,7 +14,7 @@ vectorized numpy on host and JAX/Pallas kernels on TPU, with z-slices
 sharded across chips via jax.sharding for multi-chip scaling
 (crackle_tpu.parallel).
 """
-from .array import CrackleArray, CrackleRemoteArray
+from .array import CrackleArray, CrackleDeviceArray, CrackleRemoteArray
 from .codec import (
   compress, compressa, decompress, labels, labels_for_z_range,
   nbytes, components, component_lengths,

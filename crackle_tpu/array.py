@@ -498,3 +498,88 @@ def check_bounds(val, low, high):
       f'Value {val} cannot be outside of inclusive range {low} to {high}'
     )
   return val
+
+
+class CrackleDeviceArray:
+  """Read-only numpy-like facade over an HBM-resident compressed
+  stream (kernels/engine.DeviceStream): the compressed sections live
+  in device HBM (typically 1-3% of raw) and every cutout read decodes
+  ON the TPU, returning a device-resident jax array with no host
+  round trip — the TPU-serving analog of CrackleArray (the reference
+  keeps the binary in host RAM and decodes cutouts on CPU,
+  array.py:32-341).
+
+  Flat and condensed-pins streams are eligible (markov orders too —
+  their rank decode is a one-time host cost at upload). Raises
+  ValueError when the stream needs a host path; label/metadata
+  queries delegate to the pure-python codec on the original bytes.
+  """
+
+  def __init__(self, binary: bytes, parallel: int = 0):
+    from .kernels import engine
+    self.binary = binary
+    self.parallel = parallel
+    self.stream = engine.upload_stream(binary)
+    if self.stream is None:
+      raise ValueError(
+        "stream is not eligible for device serving (the "
+        "crackle_tpu.engine logger records the reason); use "
+        "CrackleArray for the host path")
+
+  @property
+  def shape(self):
+    head = self.stream.head
+    return (head.sx, head.sy, head.sz)
+
+  @property
+  def dtype(self):
+    return self.stream.head.dtype
+
+  @property
+  def ndim(self) -> int:
+    return 3
+
+  @property
+  def nbytes_device(self) -> int:
+    return self.stream.nbytes_device
+
+  def header(self):
+    return self.stream.head
+
+  def labels(self):
+    return labels(self.binary)
+
+  def num_labels(self) -> int:
+    return num_labels(self.binary)
+
+  def contains(self, label) -> bool:
+    return contains(self.binary, label)
+
+  def check_crcs(self) -> None:
+    """Decode every window and verify the per-slice CCL CRC32Cs on
+    device (raises FormatError on corruption)."""
+    self.stream.decode_window(0, self.shape[2], check_crcs=True)
+
+  def decode_window(self, z_start: int, z_end: int,
+                    check_crcs: bool = False):
+    """(labels, cc, N) device arrays for [z_start, z_end)."""
+    return self.stream.decode_window(z_start, z_end,
+                                     check_crcs=check_crcs)
+
+  def __getitem__(self, slcs):
+    import jax.numpy as jnp
+    sx, sy, sz = self.shape
+    slices = reify_slices(slcs, sx, sy, sz)
+    if isinstance(slcs, (slice, int, np.integer)):
+      slcs = (slcs,)
+    while len(slcs) < 3:
+      slcs += (slice(None, None, None),)
+
+    z0, z1 = slices[2].start, slices[2].stop
+    labels, _cc, _N = self.stream.decode_window(z0, z1)
+    vol = jnp.transpose(
+      labels.reshape(z1 - z0, sy, sx), (2, 1, 0))
+    zslc = slice(None, None, slices[2].step)
+    if isinstance(slcs[2], (int, np.integer)):
+      zslc = 0
+    return vol[(slcs[0], slcs[1], zslc)]

@@ -175,3 +175,31 @@ def test_zstack_pins_roundtrip():
 def test_cli_entrypoint_importable():
   from crackle_tpu.cli import main
   assert callable(main)
+
+
+def test_crackle_device_array(monkeypatch):
+  """CrackleDeviceArray serves cutouts from an HBM-resident stream
+  with CrackleArray's indexing semantics, returning device arrays."""
+  from crackle_tpu.kernels import ccl_pallas
+  monkeypatch.setattr(ccl_pallas, "INTERPRET", True)
+  rng = np.random.RandomState(21)
+  vol = rng.randint(0, 8, size=(24, 20, 6)).astype(np.uint32)
+  for _ in range(4):
+    ax = rng.randint(0, 3)
+    m = rng.rand(*vol.shape) < 0.6
+    vol = np.where(m, np.roll(vol, 1, axis=ax), vol)
+  vol = np.asfortranarray(vol)
+  binary = crackle.compress(vol)
+  arr = crackle.CrackleDeviceArray(binary)
+  assert arr.shape == vol.shape and arr.dtype == vol.dtype
+  np.testing.assert_array_equal(np.asarray(arr[:, :, 2]), vol[:, :, 2])
+  np.testing.assert_array_equal(
+    np.asarray(arr[3:10, 4:12, 1:5]), vol[3:10, 4:12, 1:5])
+  # ellipsis semantics match the host facade (reference-faithful)
+  host = crackle.CrackleArray(binary)
+  np.testing.assert_array_equal(
+    np.asarray(arr[..., 0]), host[..., 0])
+  np.testing.assert_array_equal(np.asarray(arr[5]), host[5])
+  assert arr.contains(int(vol[0, 0, 0]))
+  assert arr.num_labels() == len(np.unique(vol))
+  arr.check_crcs()
