@@ -583,3 +583,15 @@ class CrackleDeviceArray:
     if isinstance(slcs[2], (int, np.integer)):
       zslc = 0
     return vol[(slcs[0], slcs[1], zslc)]
+
+  def voxel_counts(self, label=None):
+    return codec_analytics().voxel_counts(self.binary, label=label)
+
+  def centroids(self, label=None):
+    return codec_analytics().centroids(self.binary, label=label)
+
+  def bounding_boxes(self, label=None):
+    return codec_analytics().bounding_boxes(self.binary, label=label)
+
+  def point_cloud(self, label=None):
+    return codec_analytics().point_cloud(self.binary, label=label)

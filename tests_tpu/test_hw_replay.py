@@ -143,3 +143,57 @@ def test_device_crc_matches_host():
   want = [crc32c(np.ascontiguousarray(cc[i].astype('<u4')))
           for i in range(4)]
   np.testing.assert_array_equal(got, np.asarray(want, got.dtype))
+
+
+def test_pins_device_stream_hw():
+  """Condensed-pins DeviceStream serving on hardware: window decode +
+  on-device crc gate vs the host decoder."""
+  vol = random_volume((20, 18, 10), 4, seed=9, smooth=12)
+  binary = crackle.compress(vol, allow_pins=1)
+  head = codec.header(binary)
+  if head.label_format != 2:
+    pytest.skip("volume did not trigger pin encoding")
+  stream = engine.upload_stream(binary)
+  assert stream is not None and stream.pins is not None
+  labels, cc, N = stream.decode_window(0, 10, check_crcs=True)
+  got = np.asarray(labels).astype(vol.dtype) \
+    .reshape(10, 18, 20).transpose(2, 1, 0)
+  np.testing.assert_array_equal(got, vol)
+
+
+def test_watershed_u64_device_stream_hw():
+  """u64 labels painted as (lo, hi) planes through DeviceStream."""
+  vol = random_volume((48, 40, 6), 9, seed=201, smooth=6,
+                      dtype=np.uint64)
+  vol = vol + np.uint64(2) ** 40
+  binary = crackle.compress(vol)
+  stream = engine.upload_stream(binary)
+  assert stream is not None
+  labels, cc, N = stream.decode_window(0, 6, check_crcs=True)
+  got = np.asarray(labels).astype(vol.dtype) \
+    .reshape(6, 40, 48).transpose(2, 1, 0)
+  np.testing.assert_array_equal(got, vol)
+
+
+def test_split_virtual_slices_hw(monkeypatch):
+  """Chain-aligned virtual-slice splitting on hardware: pieces merge
+  to the same CCL as the host engine."""
+  from crackle_tpu.ops.ccl import connected_components_slice
+  vol = np.ones((48, 40, 2), np.uint32)
+  k = 2
+  for x0 in range(1, 45, 6):
+    for y0 in range(1, 37, 6):
+      for z in range(2):
+        vol[x0:x0 + 3, y0:y0 + 3, z] = k
+        k += 1
+  vol = np.asfortranarray(vol)
+  binary = crackle.compress(vol)
+  monkeypatch.setattr(engine, "SPLIT_TARGET_CPS", 512)
+  res = engine._decode_ccl_split(binary, 0, 2)
+  assert res is not None
+  cc, N, head = res
+  cc = np.asarray(cc)
+  for z in range(2):
+    flat = np.ascontiguousarray(vol[:, :, z].T).ravel()
+    want, _ = connected_components_slice(flat, 48, 40)
+    np.testing.assert_array_equal(cc[z], want.astype(np.int32))
