@@ -28,6 +28,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 _INT32_MAX = np.iinfo(np.int32).max
 
+# Truncated sweep reach: each segmented scan stops at roll distance
+# SWEEP_SMAX instead of the full axis length. Any fixed point of the
+# truncated sweep is a fixed point of the full sweep (the s=1 step is
+# included, so stability means every pixel <= its connected
+# neighbors, i.e. L is constant per component = the component min),
+# so the while-loop convergence is exact for ANY reach; the reach
+# only trades sweep count against per-sweep cost. Measured on the
+# 512^3 corpus (BENCH_NOTES round 5): reach 15 converges in ~66 ms
+# vs ~100 ms at full reach (more, much cheaper sweeps).
+import os as _os_smax
+SWEEP_SMAX = int(_os_smax.environ.get("CRACKLE_TPU_SWEEP_SMAX", 15))
+
 
 def _roll_down(a, s, axis, fill):
   """a shifted s steps toward higher indices along axis:
@@ -86,13 +98,14 @@ def _seg_min_bwd(L, blocked_b, axis):
 # wrapped garbage is always masked out — which drops the per-step
 # guard ops. Each step is then roll + and + min + select.
 
-def _pack_flags(blocked, axis, up):
+def _pack_flags(blocked, axis, up, smax=0):
   size = blocked.shape[axis]
+  limit = min(size, smax + 1) if smax else size
   F = blocked
   FB = blocked  # bit 0
   k = 0
   s = 1
-  while 2 * s < size:
+  while 2 * s < limit:
     if up:
       F = F | _roll_up(F, s, axis, 1)
     else:
@@ -103,12 +116,13 @@ def _pack_flags(blocked, axis, up):
   return FB
 
 
-def _seg_min_fwd_p(L, FB, axis):
+def _seg_min_fwd_p(L, FB, axis, smax=0):
   size = L.shape[axis]
+  limit = min(size, smax + 1) if smax else size
   v = L
   s = 1
   k = 0
-  while s < size:
+  while s < limit:
     v_s = pltpu.roll(v, jnp.int32(s), axis=axis)
     v = jnp.where((FB & (1 << k)) > 0, v, jnp.minimum(v, v_s))
     s *= 2
@@ -116,12 +130,13 @@ def _seg_min_fwd_p(L, FB, axis):
   return v
 
 
-def _seg_min_bwd_p(L, FB, axis):
+def _seg_min_bwd_p(L, FB, axis, smax=0):
   size = L.shape[axis]
+  limit = min(size, smax + 1) if smax else size
   v = L
   s = 1
   k = 0
-  while s < size:
+  while s < limit:
     v_s = pltpu.roll(v, jnp.int32(size - s), axis=axis)
     v = jnp.where((FB & (1 << k)) > 0, v, jnp.minimum(v, v_s))
     s *= 2
@@ -157,16 +172,19 @@ def _ccl_core(vcg_ref, cc_ref, *, sx, sy):
   # borders are blocked by construction (left_ok[:,0] = up_ok[0,:] =
   # 0, and the bwd flags set the trailing edge below), which the raw
   # wrap-rolls of the packed-flag scans rely on
-  FBxf = _pack_flags(1 - left_ok, 1, up=False)
-  FBxb = _pack_flags(1 - _roll_up(left_ok, 1, 1, 0), 1, up=True)
-  FByf = _pack_flags(1 - up_ok, 0, up=False)
-  FByb = _pack_flags(1 - _roll_up(up_ok, 1, 0, 0), 0, up=True)
+  smax = SWEEP_SMAX
+  FBxf = _pack_flags(1 - left_ok, 1, up=False, smax=smax)
+  FBxb = _pack_flags(1 - _roll_up(left_ok, 1, 1, 0), 1, up=True,
+                     smax=smax)
+  FByf = _pack_flags(1 - up_ok, 0, up=False, smax=smax)
+  FByb = _pack_flags(1 - _roll_up(up_ok, 1, 0, 0), 0, up=True,
+                     smax=smax)
 
   def sweep(L):
-    L = _seg_min_fwd_p(L, FBxf, 1)
-    L = _seg_min_bwd_p(L, FBxb, 1)
-    L = _seg_min_fwd_p(L, FByf, 0)
-    L = _seg_min_bwd_p(L, FByb, 0)
+    L = _seg_min_fwd_p(L, FBxf, 1, smax)
+    L = _seg_min_bwd_p(L, FBxb, 1, smax)
+    L = _seg_min_fwd_p(L, FByf, 0, smax)
+    L = _seg_min_bwd_p(L, FByb, 0, smax)
     return L
 
   L0 = yy * sx + xx
@@ -296,16 +314,19 @@ def _ccl_min_kernel(vcg_ref, l_ref, tgt_ref, *, sx, sy):
   left_ok = jnp.where(((v & 0b0010) > 0) & (xx > 0), one, zero)
   up_ok = jnp.where(((v & 0b1000) > 0) & (yy > 0), one, zero)
 
-  FBxf = _pack_flags(1 - left_ok, 1, up=False)
-  FBxb = _pack_flags(1 - _roll_up(left_ok, 1, 1, 0), 1, up=True)
-  FByf = _pack_flags(1 - up_ok, 0, up=False)
-  FByb = _pack_flags(1 - _roll_up(up_ok, 1, 0, 0), 0, up=True)
+  smax = SWEEP_SMAX
+  FBxf = _pack_flags(1 - left_ok, 1, up=False, smax=smax)
+  FBxb = _pack_flags(1 - _roll_up(left_ok, 1, 1, 0), 1, up=True,
+                     smax=smax)
+  FByf = _pack_flags(1 - up_ok, 0, up=False, smax=smax)
+  FByb = _pack_flags(1 - _roll_up(up_ok, 1, 0, 0), 0, up=True,
+                     smax=smax)
 
   def sweep(L):
-    L = _seg_min_fwd_p(L, FBxf, 1)
-    L = _seg_min_bwd_p(L, FBxb, 1)
-    L = _seg_min_fwd_p(L, FByf, 0)
-    L = _seg_min_bwd_p(L, FByb, 0)
+    L = _seg_min_fwd_p(L, FBxf, 1, smax)
+    L = _seg_min_bwd_p(L, FBxb, 1, smax)
+    L = _seg_min_fwd_p(L, FByf, 0, smax)
+    L = _seg_min_bwd_p(L, FByb, 0, smax)
     return L
 
   L0 = yy * sx + xx
