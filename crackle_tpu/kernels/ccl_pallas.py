@@ -116,6 +116,70 @@ def _pack_flags(blocked, axis, up, smax=0):
   return FB
 
 
+# -- additive-mask variants ---------------------------------------------------
+#
+# The per-step select of the packed-flag scans (and + cmp + min + select
+# = 4 vector ops after the roll) folds into a single min when the
+# blocked flag is carried as an ADDITIVE penalty instead of a bit:
+# v = min(v, roll(v, s) + A_k) with A_k = F^k ? BIG : 0. Any blocked
+# (or wrapped) lane contributes >= BIG, and every live value stays
+# < BIG, so the min ignores it — the fixed point is identical. The
+# per-step cost drops from 5 ops to 3 (roll + add + min). BIG must
+# satisfy 2*BIG < 2^31 (sums of two penalties appear transiently) and
+# BIG > any live value — live values are flat indices or first-visit
+# ranks (< sx*sy <= 2^22) and the re-prop "infinity" _ADD_INF.
+
+_ADD_BIG = np.int32(1 << 28)
+_ADD_INF = np.int32((1 << 28) - 1)  # plant value for non-roots
+
+
+def _pack_addmasks(blocked, axis, up, smax=0):
+  """Per-step additive penalty masks [A_0, A_1, ...] for a segmented
+  min scan: A_k = F^k * BIG with F^0 = blocked, F^{k+1} = F^k |
+  roll(F^k, 2^k) (out-of-range = 1)."""
+  size = blocked.shape[axis]
+  limit = min(size, smax + 1) if smax else size
+  F = blocked
+  masks = [F * _ADD_BIG]
+  s = 1
+  while 2 * s < limit:
+    if up:
+      F = F | _roll_up(F, s, axis, 1)
+    else:
+      F = F | _roll_down(F, s, axis, 1)
+    masks.append(F * _ADD_BIG)
+    s *= 2
+  return masks
+
+
+def _seg_min_fwd_a(L, masks, axis, smax=0):
+  size = L.shape[axis]
+  limit = min(size, smax + 1) if smax else size
+  v = L
+  s = 1
+  k = 0
+  while s < limit:
+    v_s = pltpu.roll(v, jnp.int32(s), axis=axis)
+    v = jnp.minimum(v, v_s + masks[k])
+    s *= 2
+    k += 1
+  return v
+
+
+def _seg_min_bwd_a(L, masks, axis, smax=0):
+  size = L.shape[axis]
+  limit = min(size, smax + 1) if smax else size
+  v = L
+  s = 1
+  k = 0
+  while s < limit:
+    v_s = pltpu.roll(v, jnp.int32(size - s), axis=axis)
+    v = jnp.minimum(v, v_s + masks[k])
+    s *= 2
+    k += 1
+  return v
+
+
 def _seg_min_fwd_p(L, FB, axis, smax=0):
   size = L.shape[axis]
   limit = min(size, smax + 1) if smax else size
@@ -142,6 +206,48 @@ def _seg_min_bwd_p(L, FB, axis, smax=0):
     s *= 2
     k += 1
   return v
+
+
+import os as _os_add
+ADD_SWEEP = _os_add.environ.get("CRACKLE_TPU_CCL_ADD", "1") == "1"
+
+
+def _build_sweep(left_ok, up_ok, smax):
+  """Hoist the value-independent flag state of the four segmented-min
+  scans and return (sweep, inf) where sweep(L) is one full 4-scan
+  relaxation and inf is the "no value" plant constant for it."""
+  if ADD_SWEEP:
+    Axf = _pack_addmasks(1 - left_ok, 1, up=False, smax=smax)
+    Axb = _pack_addmasks(1 - _roll_up(left_ok, 1, 1, 0), 1, up=True,
+                         smax=smax)
+    Ayf = _pack_addmasks(1 - up_ok, 0, up=False, smax=smax)
+    Ayb = _pack_addmasks(1 - _roll_up(up_ok, 1, 0, 0), 0, up=True,
+                         smax=smax)
+
+    def sweep(L):
+      L = _seg_min_fwd_a(L, Axf, 1, smax)
+      L = _seg_min_bwd_a(L, Axb, 1, smax)
+      L = _seg_min_fwd_a(L, Ayf, 0, smax)
+      L = _seg_min_bwd_a(L, Ayb, 0, smax)
+      return L
+
+    return sweep, _ADD_INF
+
+  FBxf = _pack_flags(1 - left_ok, 1, up=False, smax=smax)
+  FBxb = _pack_flags(1 - _roll_up(left_ok, 1, 1, 0), 1, up=True,
+                     smax=smax)
+  FByf = _pack_flags(1 - up_ok, 0, up=False, smax=smax)
+  FByb = _pack_flags(1 - _roll_up(up_ok, 1, 0, 0), 0, up=True,
+                     smax=smax)
+
+  def sweep(L):
+    L = _seg_min_fwd_p(L, FBxf, 1, smax)
+    L = _seg_min_bwd_p(L, FBxb, 1, smax)
+    L = _seg_min_fwd_p(L, FByf, 0, smax)
+    L = _seg_min_bwd_p(L, FByb, 0, smax)
+    return L
+
+  return sweep, jnp.int32(_INT32_MAX)
 
 
 def _changed(a, b):
@@ -171,21 +277,9 @@ def _ccl_core(vcg_ref, cc_ref, *, sx, sy):
 
   # borders are blocked by construction (left_ok[:,0] = up_ok[0,:] =
   # 0, and the bwd flags set the trailing edge below), which the raw
-  # wrap-rolls of the packed-flag scans rely on
+  # wrap-rolls of the hoisted-flag scans rely on
   smax = SWEEP_SMAX
-  FBxf = _pack_flags(1 - left_ok, 1, up=False, smax=smax)
-  FBxb = _pack_flags(1 - _roll_up(left_ok, 1, 1, 0), 1, up=True,
-                     smax=smax)
-  FByf = _pack_flags(1 - up_ok, 0, up=False, smax=smax)
-  FByb = _pack_flags(1 - _roll_up(up_ok, 1, 0, 0), 0, up=True,
-                     smax=smax)
-
-  def sweep(L):
-    L = _seg_min_fwd_p(L, FBxf, 1, smax)
-    L = _seg_min_bwd_p(L, FBxb, 1, smax)
-    L = _seg_min_fwd_p(L, FByf, 0, smax)
-    L = _seg_min_bwd_p(L, FByb, 0, smax)
-    return L
+  sweep, inf = _build_sweep(left_ok, up_ok, smax)
 
   L0 = yy * sx + xx
 
@@ -231,7 +325,7 @@ def _ccl_core(vcg_ref, cc_ref, *, sx, sy):
   # pixel and its own root, so the dense bound is wrong almost
   # everywhere and the convergence-check sweeps cost more than the
   # fixed count.)
-  R0 = jnp.where(is_root, rank, jnp.int32(_INT32_MAX))
+  R0 = jnp.where(is_root, rank, jnp.full_like(rank, inf))
   R = jax.lax.fori_loop(
     0, jnp.maximum(n_sweeps - 1, 1), lambda _i, Rv: sweep(Rv), R0)
 

@@ -233,7 +233,7 @@ def sort_and_lims(vhidx):
 def p3_only(svh, lims_p):
   return pl.pallas_call(
     functools.partial(replay_pallas._paint_vcg_kernel, R=R, sx=sx,
-                      sy=sy, HI2=HI2),
+                      sy=sy, HI2=HI2, permissible=permissible),
     grid=(B,),
     in_specs=[
       pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0),
