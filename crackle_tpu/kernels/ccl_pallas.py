@@ -211,6 +211,24 @@ def _seg_min_bwd_p(L, FB, axis, smax=0):
 import os as _os_add
 ADD_SWEEP = _os_add.environ.get("CRACKLE_TPU_CCL_ADD", "1") == "1"
 
+# Mixed sweep schedule: an optional full-reach PRIME pass runs before
+# the truncated-sweep loops ("xf" = one forward x scan, "xfxb" = both
+# x scans, "full" = one full 4-scan sweep, "full2" = two; "" = none).
+# The convergence check runs on the truncated sweep (which contains
+# the s=1 step), so the fixed-point proof is unchanged; the rank
+# re-propagation replays the same operator sequence (prime, then
+# truncated), which suffices because each component carries exactly
+# one finite value whose relay path is the same as the one that
+# carried the component min. Measured on the 512^3 corpus: every
+# prime LOSES (none 986, xf 948, xfxb 885, full 876, full2 846
+# MVx/s end-to-end) — the truncated sweeps converge in few enough
+# extra rounds that no full-reach priming pass pays for itself.
+SWEEP_PRIME = _os_add.environ.get("CRACKLE_TPU_SWEEP_PRIME", "")
+
+# plant-paint stripe loop shape (see _ccl_paint_kernel)
+PAINT_BLK = int(_os_add.environ.get("CRACKLE_TPU_PAINT_BLK", "64"))
+PAINT_UNROLL = int(_os_add.environ.get("CRACKLE_TPU_PAINT_UNROLL", "4"))
+
 
 def _build_sweep(left_ok, up_ok, smax):
   """Hoist the value-independent flag state of the four segmented-min
@@ -250,6 +268,36 @@ def _build_sweep(left_ok, up_ok, smax):
   return sweep, jnp.int32(_INT32_MAX)
 
 
+def _build_prime(left_ok, up_ok, mode):
+  """Optional full-reach priming pass (see SWEEP_PRIME). Uses
+  packed-bit flags (1 i32 flag array per scan instead of the additive
+  form's per-step masks — the prime runs once per loop, so VMEM
+  matters more than per-step op count here). Returns a function
+  applying the pass, or None."""
+  if not mode:
+    return None
+  FBxf = _pack_flags(1 - left_ok, 1, up=False)
+  if mode == "xf":
+    return lambda L: _seg_min_fwd_p(L, FBxf, 1)
+  FBxb = _pack_flags(1 - _roll_up(left_ok, 1, 1, 0), 1, up=True)
+  if mode == "xfxb":
+    return lambda L: _seg_min_bwd_p(_seg_min_fwd_p(L, FBxf, 1),
+                                    FBxb, 1)
+  FByf = _pack_flags(1 - up_ok, 0, up=False)
+  FByb = _pack_flags(1 - _roll_up(up_ok, 1, 0, 0), 0, up=True)
+
+  def sweep(L):
+    L = _seg_min_fwd_p(L, FBxf, 1)
+    L = _seg_min_bwd_p(L, FBxb, 1)
+    L = _seg_min_fwd_p(L, FByf, 0)
+    L = _seg_min_bwd_p(L, FByb, 0)
+    return L
+
+  if mode == "full2":
+    return lambda L: sweep(sweep(L))
+  return sweep
+
+
 def _changed(a, b):
   # jnp.any / 64-bit intermediates choke the Mosaic lowering under
   # x64; reduce and carry strictly in int32
@@ -280,6 +328,8 @@ def _ccl_core(vcg_ref, cc_ref, *, sx, sy):
   # wrap-rolls of the hoisted-flag scans rely on
   smax = SWEEP_SMAX
   sweep, inf = _build_sweep(left_ok, up_ok, smax)
+  prime = _build_prime(left_ok, up_ok,
+                       SWEEP_PRIME if smax else "")
 
   L0 = yy * sx + xx
 
@@ -292,9 +342,10 @@ def _ccl_core(vcg_ref, cc_ref, *, sx, sy):
     L2 = sweep(L)
     return L2, _changed(L2, L), n + 1
 
-  L1 = sweep(L0)
+  Lf = prime(L0) if prime else L0
+  L1 = sweep(Lf)
   L, _, n_sweeps = jax.lax.while_loop(
-    cond, body, (L1, _changed(L1, L0), jnp.int32(1)))
+    cond, body, (L1, _changed(L1, Lf), jnp.int32(1)))
 
   # first-visit rank of each root via a raster-order 2D prefix sum
   is_root = (L == L0)
@@ -326,6 +377,8 @@ def _ccl_core(vcg_ref, cc_ref, *, sx, sy):
   # everywhere and the convergence-check sweeps cost more than the
   # fixed count.)
   R0 = jnp.where(is_root, rank, jnp.full_like(rank, inf))
+  if prime:
+    R0 = prime(R0)
   R = jax.lax.fori_loop(
     0, jnp.maximum(n_sweeps - 1, 1), lambda _i, Rv: sweep(Rv), R0)
 
@@ -349,8 +402,8 @@ def _ccl_paint_kernel(vcg_ref, t_ref, cc_ref, painted_ref, *, sx, sy,
     vcg_ref, cc_ref, sx=sx, sy=sy
   )
 
-  BLK = 64
-  UNROLL = 4
+  BLK = PAINT_BLK
+  UNROLL = PAINT_UNROLL
   for y0 in range(0, sy, BLK):
     y1 = min(y0 + BLK, sy)
     Rb = R[y0:y1]
