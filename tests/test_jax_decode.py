@@ -496,3 +496,32 @@ def test_split_decode_long_slices(monkeypatch):
   out = engine.decode_window_ccl(binary, 0, 3, check_crcs=True)
   assert out is not None
   np.testing.assert_array_equal(out[0][2], cc[2])
+
+
+@pytest.mark.parametrize("add_sweep,prime,sy,sx", [
+  (True, "", 40, 48),        # default: additive-penalty sweeps
+  (False, "", 41, 48),       # packed-bit sweeps (CCL_ADD=0)
+  (True, "xf", 42, 48),      # full-reach x prime (gated negative)
+  (True, "xfxb", 43, 48),
+  (True, "full", 44, 48),
+  (False, "full2", 45, 48),
+])
+def test_ccl_sweep_variants_match_xla(monkeypatch, add_sweep, prime,
+                                      sy, sx):
+  """Every sweep formulation (additive-penalty vs packed-bit flags,
+  with and without a full-reach prime pass) must produce the exact
+  first-visit numbering of the XLA oracle. The prime modes are
+  env-gated measured negatives (BENCH_NOTES round 5) kept correct;
+  distinct shapes per case bust any trace caching."""
+  import jax.numpy as jnp
+  from crackle_tpu.kernels import ccl_pallas, decode as _dec
+  monkeypatch.setattr(ccl_pallas, "INTERPRET", True)
+  monkeypatch.setattr(ccl_pallas, "ADD_SWEEP", add_sweep)
+  monkeypatch.setattr(ccl_pallas, "SWEEP_PRIME", prime)
+  rng = np.random.RandomState(sy)
+  vcg = (rng.randint(0, 16, size=(2, sy * sx)) & 0b1010).astype(
+    np.uint8)
+  ref_cc, ref_N = _dec._ccl_batch(jnp.asarray(vcg), sx, sy)
+  cc, N = ccl_pallas.ccl_batch_traced(jnp.asarray(vcg), sx, sy)
+  np.testing.assert_array_equal(np.asarray(ref_cc), np.asarray(cc))
+  np.testing.assert_array_equal(np.asarray(ref_N), np.asarray(N))
