@@ -39,6 +39,12 @@ _INT32_MAX = np.iinfo(np.int32).max
 # vs ~100 ms at full reach (more, much cheaper sweeps).
 import os as _os_smax
 SWEEP_SMAX = int(_os_smax.environ.get("CRACKLE_TPU_SWEEP_SMAX", 15))
+# optional per-axis overrides (x = lane-dim rolls, y = sublane-dim
+# rolls have different costs on the VPU); default symmetric
+SWEEP_SMAX_X = int(_os_smax.environ.get("CRACKLE_TPU_SWEEP_SMAX_X",
+                                        SWEEP_SMAX))
+SWEEP_SMAX_Y = int(_os_smax.environ.get("CRACKLE_TPU_SWEEP_SMAX_Y",
+                                        SWEEP_SMAX))
 
 
 def _roll_down(a, s, axis, fill):
@@ -238,35 +244,37 @@ def _build_sweep(left_ok, up_ok, smax):
   """Hoist the value-independent flag state of the four segmented-min
   scans and return (sweep, inf) where sweep(L) is one full 4-scan
   relaxation and inf is the "no value" plant constant for it."""
+  sx_r = SWEEP_SMAX_X if smax else 0
+  sy_r = SWEEP_SMAX_Y if smax else 0
   if ADD_SWEEP:
-    Axf = _pack_addmasks(1 - left_ok, 1, up=False, smax=smax)
+    Axf = _pack_addmasks(1 - left_ok, 1, up=False, smax=sx_r)
     Axb = _pack_addmasks(1 - _roll_up(left_ok, 1, 1, 0), 1, up=True,
-                         smax=smax)
-    Ayf = _pack_addmasks(1 - up_ok, 0, up=False, smax=smax)
+                         smax=sx_r)
+    Ayf = _pack_addmasks(1 - up_ok, 0, up=False, smax=sy_r)
     Ayb = _pack_addmasks(1 - _roll_up(up_ok, 1, 0, 0), 0, up=True,
-                         smax=smax)
+                         smax=sy_r)
 
     def sweep(L):
-      L = _seg_min_fwd_a(L, Axf, 1, smax)
-      L = _seg_min_bwd_a(L, Axb, 1, smax)
-      L = _seg_min_fwd_a(L, Ayf, 0, smax)
-      L = _seg_min_bwd_a(L, Ayb, 0, smax)
+      L = _seg_min_fwd_a(L, Axf, 1, sx_r)
+      L = _seg_min_bwd_a(L, Axb, 1, sx_r)
+      L = _seg_min_fwd_a(L, Ayf, 0, sy_r)
+      L = _seg_min_bwd_a(L, Ayb, 0, sy_r)
       return L
 
     return sweep, _ADD_INF
 
-  FBxf = _pack_flags(1 - left_ok, 1, up=False, smax=smax)
+  FBxf = _pack_flags(1 - left_ok, 1, up=False, smax=sx_r)
   FBxb = _pack_flags(1 - _roll_up(left_ok, 1, 1, 0), 1, up=True,
-                     smax=smax)
-  FByf = _pack_flags(1 - up_ok, 0, up=False, smax=smax)
+                     smax=sx_r)
+  FByf = _pack_flags(1 - up_ok, 0, up=False, smax=sy_r)
   FByb = _pack_flags(1 - _roll_up(up_ok, 1, 0, 0), 0, up=True,
-                     smax=smax)
+                     smax=sy_r)
 
   def sweep(L):
-    L = _seg_min_fwd_p(L, FBxf, 1, smax)
-    L = _seg_min_bwd_p(L, FBxb, 1, smax)
-    L = _seg_min_fwd_p(L, FByf, 0, smax)
-    L = _seg_min_bwd_p(L, FByb, 0, smax)
+    L = _seg_min_fwd_p(L, FBxf, 1, sx_r)
+    L = _seg_min_bwd_p(L, FBxb, 1, sx_r)
+    L = _seg_min_fwd_p(L, FByf, 0, sy_r)
+    L = _seg_min_bwd_p(L, FByb, 0, sy_r)
     return L
 
   return sweep, jnp.int32(_INT32_MAX)
