@@ -47,12 +47,14 @@ SWEEP_SMAX_Y = int(_os_smax.environ.get("CRACKLE_TPU_SWEEP_SMAX_Y",
                                         SWEEP_SMAX))
 # scan order within one sweep (any permutation of the 4 scans is an
 # exact schedule; order changes only the convergence count).
-# Axis-interleaved beats axis-grouped by ~5% on the 512^3 corpus:
-# xf,yf,xb,yb 1049 / yf,yb,xf,xb 1044 / xf,xb,yf,yb 997-1000 MVx/s
+# Axis-interleaved beats axis-grouped by ~5-8% on the 512^3 corpus:
+# yf,xf,yb,xb 1075 / yb,xb,yf,xf 1061 / xf,yf,xb,yb 1049 /
+# yf,yb,xf,xb 1044 / xb,yb,xf,yf 1042 / xf,xb,yf,yb 997-1000 MVx/s
 # end-to-end — alternating axes lets each scan relay the previous
-# axis's progress around corners within the same sweep.
+# axis's progress around corners within the same sweep, and leading
+# with y (the sublane axis) edges out x-leading.
 SWEEP_ORDER = _os_smax.environ.get("CRACKLE_TPU_SWEEP_ORDER",
-                                   "xf,yf,xb,yb")
+                                   "yf,xf,yb,xb")
 
 
 def _roll_down(a, s, axis, fill):
